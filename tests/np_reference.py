@@ -1,0 +1,210 @@
+"""Independent NumPy f64 reference renderer for golden-image tests.
+
+A from-scratch, loop-over-bounces implementation of the same RTiOW pipeline
+(the algorithm of /root/reference/src/raytracer/{camera,sphere,material}.rs),
+written against numpy with its OWN RNG stream.  It shares no code with the
+JAX framework under test, so agreement between the two (statistically, at
+moderate spp) is meaningful evidence of correctness.  All math is f64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LAMBERTIAN, METAL, DIELECTRIC, ABSORB, TRANSPARENT = 0, 1, 2, 3, 4
+T_MIN = 1e-3
+INF = np.inf
+
+
+def _unit(v):
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    return v / np.where(n > 0, n, 1.0)
+
+
+def _rand_unit_vec(rng, n):
+    g = rng.normal(size=(n, 3))
+    return _unit(g)
+
+
+class NPScene:
+    def __init__(self, centers, radii, albedo, mat_type, fuzz, ior):
+        self.centers = np.asarray(centers, np.float64)
+        self.radii = np.asarray(radii, np.float64)
+        self.albedo = np.asarray(albedo, np.float64)
+        self.mat_type = np.asarray(mat_type, np.int64)
+        self.fuzz = np.asarray(fuzz, np.float64)
+        self.ior = np.asarray(ior, np.float64)
+
+    @classmethod
+    def from_scene(cls, scene):
+        return cls(
+            np.asarray(scene.centers),
+            np.asarray(scene.radii),
+            np.asarray(scene.albedo),
+            np.asarray(scene.mat_type),
+            np.asarray(scene.fuzz),
+            np.asarray(scene.ior),
+        )
+
+
+def hit_scene(scene: NPScene, o, d):
+    """Vectorized closest hit. o,d: [R,3]. Returns (t [R], idx [R], hit [R])."""
+    oc = scene.centers[None, :, :] - o[:, None, :]  # [R,N,3]
+    a = np.sum(d * d, axis=-1)[:, None]
+    h = np.sum(d[:, None, :] * oc, axis=-1)
+    c = np.sum(oc * oc, axis=-1) - scene.radii[None, :] ** 2
+    disc = h * h - a * c
+    with np.errstate(invalid="ignore"):
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        near = (h - sq) / a
+        far = (h + sq) / a
+    ok = disc >= 0
+    nv = ok & (near > T_MIN)
+    fv = ok & (far > T_MIN)
+    t = np.where(nv, near, np.where(fv, far, INF))
+    idx = np.argmin(t, axis=-1)
+    tbest = t[np.arange(t.shape[0]), idx]
+    return tbest, idx, np.isfinite(tbest)
+
+
+def trace(scene: NPScene, o, d, rng, max_depth):
+    """Iterative masked bounce loop, f64, own RNG. Returns colors [R,3]."""
+    r = o.shape[0]
+    atten = np.ones((r, 3))
+    color = np.zeros((r, 3))
+    active = np.ones(r, bool)
+    o = o.copy()
+    d = d.copy()
+    for _ in range(max_depth):
+        if not active.any():
+            break
+        t, idx, hit = hit_scene(scene, o, d)
+        # sky for active misses
+        ud = _unit(d)
+        a_sky = 0.5 * (ud[:, 1] + 1.0)
+        sky = (1 - a_sky)[:, None] * np.ones(3) + a_sky[:, None] * np.array([0.5, 0.7, 1.0])
+        miss = active & ~hit
+        color[miss] = atten[miss] * sky[miss]
+
+        go = active & hit
+        if go.any():
+            ti, ii = t[go], idx[go]
+            og, dg = o[go], d[go]
+            p = og + ti[:, None] * dg
+            ctr = scene.centers[ii]
+            rad = scene.radii[ii]
+            outward = (p - ctr) / rad[:, None]
+            front = np.sum(dg * outward, axis=-1) < 0
+            normal = np.where(front[:, None], outward, -outward)
+            mat = scene.mat_type[ii]
+            alb = scene.albedo[ii]
+            fz = scene.fuzz[ii]
+            ir = scene.ior[ii]
+            ng = go.sum()
+            ruv = _rand_unit_vec(rng, ng)
+
+            newd = np.zeros_like(dg)
+            newo = p.copy()
+            att = np.ones_like(alb)
+            scat = np.ones(ng, bool)
+
+            lam = mat == LAMBERTIAN
+            ldir = normal + ruv
+            deg = np.all(np.abs(ldir) < 1e-6, axis=-1)
+            ldir[deg] = normal[deg]
+            newd[lam] = ldir[lam]
+            att[lam] = alb[lam]
+
+            met = mat == METAL
+            refl = dg - 2 * np.sum(dg * normal, axis=-1, keepdims=True) * normal
+            mdir = _unit(refl) + fz[:, None] * ruv
+            newd[met] = mdir[met]
+            att[met] = alb[met]
+            scat[met] = np.sum(mdir * normal, axis=-1)[met] > 0
+
+            die = mat == DIELECTRIC
+            if die.any():
+                ri = np.where(front, 1.0 / ir, ir)
+                udg = _unit(dg)
+                cos = np.minimum(np.sum(-udg * normal, axis=-1), 1.0)
+                sin = np.sqrt(np.maximum(1 - cos * cos, 0.0))
+                cannot = ri * sin > 1.0
+                r0 = ((1 - ri) / (1 + ri)) ** 2
+                schlick = r0 + (1 - r0) * (1 - cos) ** 5
+                u = rng.random(ng)
+                choose_refl = cannot | (schlick > u)
+                rdir = udg - 2 * np.sum(udg * normal, axis=-1, keepdims=True) * normal
+                perp = ri[:, None] * (udg + cos[:, None] * normal)
+                para = -np.sqrt(np.abs(1 - np.sum(perp * perp, axis=-1)))[:, None] * normal
+                fdir = np.where(choose_refl[:, None], rdir, perp + para)
+                newd[die] = fdir[die]
+                att[die] = 1.0
+
+            absb = mat == ABSORB
+            scat[absb] = False
+
+            trans = mat == TRANSPARENT
+            newd[trans] = dg[trans]
+            newo[trans] = og[trans]
+            att[trans] = 1.0
+
+            sub_active = scat
+            # write back
+            gidx = np.where(go)[0]
+            atten[gidx[sub_active]] *= att[sub_active]
+            o[gidx[sub_active]] = newo[sub_active]
+            d[gidx[sub_active]] = newd[sub_active]
+            # absorbed: color stays 0, just deactivate
+            newactive = np.zeros_like(active)
+            newactive[gidx[sub_active]] = True
+            active = newactive
+        else:
+            active = np.zeros_like(active)
+    return color
+
+
+def render(scene: NPScene, cam_np: dict, spp: int, max_depth: int, seed: int = 1234):
+    """Full-image reference render. cam_np: dict with f64 camera geometry."""
+    rng = np.random.default_rng(seed)
+    w, h = cam_np["image_width"], cam_np["image_height"]
+    ii, jj = np.meshgrid(np.arange(w), np.arange(h))
+    pi = ii.reshape(-1).astype(np.float64)
+    pj = jj.reshape(-1).astype(np.float64)
+    n = pi.size
+    acc = np.zeros((n, 3))
+    for _ in range(spp):
+        off = rng.random((n, 2)) - 0.5
+        pix = (
+            cam_np["pixel00_loc"][None, :]
+            + (pi + off[:, 0])[:, None] * cam_np["pixel_delta_u"][None, :]
+            + (pj + off[:, 1])[:, None] * cam_np["pixel_delta_v"][None, :]
+        )
+        if cam_np["defocus_angle"] > 0:
+            rr = np.sqrt(rng.random(n))
+            th = rng.random(n) * 2 * np.pi
+            px, py = rr * np.cos(th), rr * np.sin(th)
+            origin = (
+                cam_np["center"][None, :]
+                + px[:, None] * cam_np["defocus_disk_u"][None, :]
+                + py[:, None] * cam_np["defocus_disk_v"][None, :]
+            )
+        else:
+            origin = np.broadcast_to(cam_np["center"], (n, 3)).copy()
+        direction = pix - origin
+        acc += trace(scene, origin, direction, rng, max_depth)
+    return (acc / spp).reshape(h, w, 3)
+
+
+def camera_np(camera) -> dict:
+    """Extract f64 camera geometry from a framework Camera."""
+    return dict(
+        image_width=camera.image_width,
+        image_height=camera.image_height,
+        center=np.asarray(camera.center, np.float64),
+        pixel00_loc=np.asarray(camera.pixel00_loc, np.float64),
+        pixel_delta_u=np.asarray(camera.pixel_delta_u, np.float64),
+        pixel_delta_v=np.asarray(camera.pixel_delta_v, np.float64),
+        defocus_angle=float(camera.defocus_angle),
+        defocus_disk_u=np.asarray(camera.defocus_disk_u, np.float64),
+        defocus_disk_v=np.asarray(camera.defocus_disk_v, np.float64),
+    )
