@@ -9,6 +9,7 @@ reference's f64; epsilons are rescaled accordingly (see NEAR_ZERO_EPS).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # The reference uses 1e-8 on f64 (vec3.rs:42-45).  That is below f32
@@ -57,7 +58,8 @@ def unit_vector(v: jnp.ndarray) -> jnp.ndarray:
     safe inside masked lanes of the bounce loop.
     """
     norm2 = length_squared(v)
-    inv = jnp.where(norm2 > 0.0, 1.0 / jnp.sqrt(jnp.maximum(norm2, 1e-38)), 0.0)
+    safe = jnp.where(norm2 > 0.0, norm2, 1.0)  # double-where: keep AD NaN-free
+    inv = jnp.where(norm2 > 0.0, jax.lax.rsqrt(safe), 0.0)
     return v * inv[..., None]
 
 
@@ -79,9 +81,9 @@ def refract(uv: jnp.ndarray, n: jnp.ndarray, etai_over_etat: jnp.ndarray) -> jnp
     cos_theta = jnp.minimum(dot(-uv, n), 1.0)
     eta = jnp.asarray(etai_over_etat)[..., None]
     r_out_perp = eta * (uv + cos_theta[..., None] * n)
-    r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
-    )
+    k = jnp.abs(1.0 - length_squared(r_out_perp))
+    safe_k = jnp.where(k > 0.0, k, 1.0)  # double-where for AD at grazing k=0
+    r_out_parallel = -jnp.where(k > 0.0, jnp.sqrt(safe_k), 0.0)[..., None] * n
     return r_out_perp + r_out_parallel
 
 

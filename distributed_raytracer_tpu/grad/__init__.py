@@ -1,0 +1,7 @@
+from distributed_raytracer_tpu.grad.diff_render import (  # noqa: F401
+    render_diff,
+    image_loss,
+    scene_and_camera_grads,
+    scene_grads,
+    InverseRenderer,
+)

@@ -62,7 +62,10 @@ def candidate_ts(
     c_q = c_norm2_minus_r2[None, :] - 2.0 * o_dot_c + o_norm2  # [R, N]
 
     disc = h * h - a * c_q
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where: sqrt's derivative at 0 is inf, and inf * (select 0) = NaN
+    # under reverse-mode AD; feed sqrt a safe value on the miss branch.
+    safe_disc = jnp.where(disc > 0.0, disc, 1.0)
+    sqrtd = jnp.where(disc > 0.0, jnp.sqrt(safe_disc), 0.0)
     inv_a = 1.0 / a
     root_near = (h - sqrtd) * inv_a
     root_far = (h + sqrtd) * inv_a

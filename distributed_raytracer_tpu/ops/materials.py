@@ -97,7 +97,9 @@ def scatter(
     ri = jnp.where(front_face, 1.0 / ior, ior)
     unit_d = vm.unit_vector(ray_d)
     cos_theta = jnp.minimum(vm.dot(-unit_d, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    sin2 = 1.0 - cos_theta * cos_theta
+    safe_sin2 = jnp.where(sin2 > 0.0, sin2, 1.0)  # double-where for AD
+    sin_theta = jnp.where(sin2 > 0.0, jnp.sqrt(safe_sin2), 0.0)
     cannot_refract = ri * sin_theta > 1.0
     # Schlick (material.rs:93-98)
     r0 = (1.0 - ri) / (1.0 + ri)

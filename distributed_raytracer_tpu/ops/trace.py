@@ -78,8 +78,13 @@ def bounce_step(state: RayState, key: jax.Array, scene: Scene) -> RayState:
     (camera.rs:118-144) = one object-server CheckHit (object_server.rs:34-38),
     minus the network."""
     hit_res = closest_hit(state.origin, state.direction, scene)
+    # Missing rays carry t = BIG; feeding that into scatter() overflows f32
+    # (p ~ 1e30, |p|^2 = inf) and the resulting NaNs leak back through the
+    # masked where()s under reverse-mode AD (0 cotangent * inf = NaN).
+    # Scatter results are only consumed when hit, so give misses a safe t.
+    t_safe = jnp.where(hit_res.hit, hit_res.t, 1.0)
     sc = materials.scatter(
-        key, state.origin, state.direction, hit_res.t, hit_res.idx, scene
+        key, state.origin, state.direction, t_safe, hit_res.idx, scene
     )
 
     finish_miss = state.active & ~hit_res.hit
