@@ -1,0 +1,105 @@
+"""Benchmark: forward+backward rays/s/chip on the canonical workload.
+
+Workload = the reference's flagship render (main.rs:55-66): RTiOW final
+scene (~480 spheres), 1200x675, max_depth 50.  "ray" = one primary camera
+sample (pixel sample); each carries its full bounce loop.  Forward is the
+production fast path (early-exit while bounce loop); forward+backward is
+the differentiable scan with per-bounce remat.
+
+The reference publishes NO numbers (README.md:1-6; no benches).  The
+vs_baseline denominator is therefore an ESTIMATE of the Rust renderer's
+single-core throughput on the same workload: ~5.6e4 primary rays/s
+(1200x675@500spp in ~2h, typical for unthreaded RTiOW-style tracers at
+depth 50 with an O(N) 481-sphere linear scan).  Documented in BASELINE.md.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+RUST_REF_RAYS_PER_SEC_EST = 5.6e4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from distributed_raytracer_tpu.grad.diff_render import image_loss
+    from distributed_raytracer_tpu.models.presets import final_scene_camera, rtiow_final_scene
+    from distributed_raytracer_tpu.ops.camera import generate_rays
+    from distributed_raytracer_tpu.ops.trace import trace_rays, trace_rays_fast
+
+    scene = rtiow_final_scene(seed=0)
+    camera = final_scene_camera(image_width=1200, spp=500)
+    w = camera.image_width
+    depth = camera.max_depth
+    log(f"scene: {scene.num_spheres} spheres; {w}x{camera.image_height} depth {depth}")
+    log(f"devices: {jax.devices()}")
+
+    n_rays = 131072  # one timing tile; full frame = 810k rays x 500 spp
+
+    @jax.jit
+    def fwd(scene, ids, key):
+        k1, k2 = jax.random.split(key)
+        o, d = generate_rays(camera, k1, ids % w, ids // w)
+        return trace_rays_fast(scene, o, d, k2, depth)
+
+    @jax.jit
+    def fwd_bwd(params, scene, ids, key):
+        def loss_fn(p):
+            s = scene.with_diff_params(p)
+            k1, k2 = jax.random.split(key)
+            o, d = generate_rays(camera, k1, ids % w, ids // w)
+            colors = trace_rays(s, o, d, k2, depth)
+            return image_loss(colors, jnp.zeros_like(colors))
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    ids = jnp.arange(n_rays, dtype=jnp.int32) % camera.num_pixels
+    key = jax.random.PRNGKey(0)
+
+    t_fwd = timed(fwd, scene, ids, key)
+    fwd_rps = n_rays / t_fwd
+    log(f"fwd:     {t_fwd*1e3:8.2f} ms/{n_rays} rays -> {fwd_rps:,.0f} rays/s")
+
+    params = scene.diff_params()
+    t_fb = timed(lambda *a: fwd_bwd(params, *a), scene, ids, key)
+    fb_rps = n_rays / t_fb
+    log(f"fwd+bwd: {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "fwd+bwd rays/s/chip (RTiOW final scene 1200x675, depth 50)",
+                "value": round(fb_rps, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(fb_rps / RUST_REF_RAYS_PER_SEC_EST, 3),
+                "extras": {
+                    "fwd_rays_per_sec": round(fwd_rps, 1),
+                    "baseline_note": "Rust ref publishes no numbers; est 5.6e4 rays/s single-core",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Command-line interface.
+
+The reference has three binaries with zero flags (main.rs, run_server.rs,
+run_client.rs — everything hard-coded).  This CLI covers their roles:
+
+  render      — the monolithic renderer (main.rs) with progressive PPM
+                snapshots standing in for the minifb window, plus
+                checkpoint/resume.
+  render-dist — the fleet (run_server.rs + run_client.rs): mesh-sharded
+                render over all visible devices.
+  grad-check  — finite-difference spot check of dL/dscene.
+  invert      — inverse rendering demo (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--config", default="config1", help="preset name (config1..config5)")
+    p.add_argument("--spp", type=int, default=None, help="override samples per pixel")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch", type=int, default=16, help="samples per device program")
+    p.add_argument("--out", default=None, help="output .ppm path")
+    p.add_argument("--width", type=int, default=None, help="override image width")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def _setup_backend(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def _load(args):
+    from distributed_raytracer_tpu.models.presets import get_config
+
+    scene, cam = get_config(args.config)
+    if args.width:
+        from distributed_raytracer_tpu.ops.camera import make_camera
+
+        cam = make_camera(
+            aspect_ratio=cam.image_width / cam.image_height,
+            image_width=args.width,
+            samples_per_pixel=cam.samples_per_pixel,
+            max_depth=cam.max_depth,
+            vfov=float(cam.vfov),
+            lookfrom=tuple(float(x) for x in cam.lookfrom),
+            lookat=tuple(float(x) for x in cam.lookat),
+            vup=tuple(float(x) for x in cam.vup),
+            defocus_angle=float(cam.defocus_angle),
+            focus_dist=float(cam.focus_dist),
+        )
+    if args.spp:
+        cam = cam.replace(samples_per_pixel=args.spp)
+    return scene, cam
+
+
+def cmd_render(args):
+    _setup_backend(args)
+    from distributed_raytracer_tpu.render.image import write_ppm
+    from distributed_raytracer_tpu.render.progressive import render_progressive
+    from distributed_raytracer_tpu.utils.metrics import RenderMetrics
+
+    scene, cam = _load(args)
+    metrics = RenderMetrics()
+    out = args.out or f"{args.config}.ppm"
+    t0 = time.time()
+
+    def progress(state):
+        metrics.samples_done = state.samples_done
+        metrics.add_rays(cam.num_pixels * args.batch)
+        el = time.time() - t0
+        print(
+            f"sample {state.samples_done}/{cam.samples_per_pixel} "
+            f"({cam.num_pixels * state.samples_done / el:,.0f} rays/s)",
+            file=sys.stderr,
+        )
+        if args.snapshot_every and state.samples_done % args.snapshot_every == 0:
+            write_ppm(out, state.mean_image())
+
+    with metrics.phase("render"):
+        state = render_progressive(
+            scene,
+            cam,
+            seed=args.seed,
+            spp=cam.samples_per_pixel,
+            batch=args.batch,
+            checkpoint_path=args.checkpoint,
+            resume=not args.no_resume,
+            progress_cb=progress,
+        )
+    write_ppm(out, state.mean_image())
+    metrics.report()
+    print(f"wrote {out}", file=sys.stderr)
+
+
+def cmd_render_dist(args):
+    _setup_backend(args)
+    from distributed_raytracer_tpu.parallel import ShardedRenderer, make_mesh
+    from distributed_raytracer_tpu.render.image import write_ppm
+
+    scene, cam = _load(args)
+    mesh = make_mesh(n_scene=args.scene_shards)
+    if args.scene_shards > 1:
+        # run the fully 2D-sharded path (rays x scene)
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from distributed_raytracer_tpu.parallel import (
+            make_scene_sharded_render,
+            shard_scene,
+        )
+        from distributed_raytracer_tpu.parallel.mesh import RAYS_AXIS, pad_to_multiple
+
+        padded = shard_scene(scene, args.scene_shards)
+        render = make_scene_sharded_render(mesh, cam)
+        n = cam.num_pixels
+        m = pad_to_multiple(n, mesh.shape[RAYS_AXIS])
+        ids = jnp.asarray(np.r_[np.arange(n), np.zeros(m - n)], jnp.int32)
+        key = jax.random.PRNGKey(args.seed)
+        spp = cam.samples_per_pixel
+        acc = jnp.zeros((m, 3), jnp.float32)
+        for s in range(spp):
+            acc = acc + render(padded, key, jnp.int32(s), ids)
+            print(f"sample {s + 1}/{spp}", file=sys.stderr)
+        img = (np.asarray(acc[:n]) / spp).reshape(cam.image_height, cam.image_width, 3)
+    else:
+        r = ShardedRenderer(mesh, cam)
+        img = r.render_image(scene, seed=args.seed, spp=cam.samples_per_pixel,
+                             batch=args.batch)
+    out = args.out or f"{args.config}_dist.ppm"
+    write_ppm(out, img)
+    print(f"wrote {out} (mesh {dict(mesh.shape)})", file=sys.stderr)
+
+
+def cmd_grad_check(args):
+    _setup_backend(args)
+    import jax
+    import jax.numpy as jnp
+
+    from distributed_raytracer_tpu.grad import render_diff, scene_grads
+
+    scene, cam = _load(args)
+    cam = cam.replace(samples_per_pixel=min(cam.samples_per_pixel, 4))
+    key = jax.random.PRNGKey(args.seed)
+    s = jnp.arange(4, dtype=jnp.int32)
+    target = render_diff(scene, cam, jax.random.PRNGKey(args.seed + 1), s)
+    loss, grads = scene_grads(scene, cam, key, s, target)
+    print(f"loss: {float(loss):.6f}", file=sys.stderr)
+    for k, g in grads.items():
+        import numpy as np
+
+        g = np.asarray(g)
+        print(f"  d/d{k}: |g|={np.abs(g).max():.3e} finite={np.all(np.isfinite(g))}",
+              file=sys.stderr)
+
+
+def cmd_invert(args):
+    _setup_backend(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from distributed_raytracer_tpu.grad import InverseRenderer, render_diff
+
+    scene, cam = _load(args)
+    cam = cam.replace(samples_per_pixel=4)
+    target = render_diff(
+        scene, cam, jax.random.PRNGKey(123), jnp.arange(8, dtype=jnp.int32)
+    )
+    rng = np.random.default_rng(args.seed)
+    start = scene.replace(
+        albedo=jnp.clip(
+            scene.albedo + jnp.asarray(rng.normal(0, 0.2, scene.albedo.shape), jnp.float32),
+            0.05,
+            0.95,
+        )
+    )
+    inv = InverseRenderer(start, cam, target, fields=("albedo",), learning_rate=2e-2)
+    for i in range(args.steps):
+        loss = inv.step()
+        if i % 10 == 0:
+            print(f"step {i}: loss {loss:.6f}", file=sys.stderr)
+    err = float(jnp.abs(inv.scene.albedo - scene.albedo).mean())
+    print(f"final albedo MAE: {err:.4f}", file=sys.stderr)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="distributed_raytracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="single-device progressive render")
+    _add_common(p)
+    p.add_argument("--checkpoint", default=None, help="checkpoint path for resume")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="write progressive ppm every N samples")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("render-dist", help="mesh-sharded render (all devices)")
+    _add_common(p)
+    p.add_argument("--scene-shards", type=int, default=1,
+                   help="shard the sphere axis over this many devices")
+    p.set_defaults(fn=cmd_render_dist)
+
+    p = sub.add_parser("grad-check", help="dL/dscene sanity check")
+    _add_common(p)
+    p.set_defaults(fn=cmd_grad_check)
+
+    p = sub.add_parser("invert", help="inverse-rendering demo")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=100)
+    p.set_defaults(fn=cmd_invert)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

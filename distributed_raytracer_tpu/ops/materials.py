@@ -60,6 +60,19 @@ def surface_geometry(ray_o, ray_d, t, centers, radii):
     return p, normal, front_face
 
 
+def gather_hit_params(scene: Scene, sphere_idx: jnp.ndarray) -> dict:
+    """Per-ray winning-sphere attributes (the HitRecord mat clone,
+    sphere.rs:55), as a dict of [R,...] arrays."""
+    return dict(
+        centers=scene.centers[sphere_idx],
+        radii=scene.radii[sphere_idx],
+        albedo=scene.albedo[sphere_idx],
+        mat=scene.mat_type[sphere_idx],
+        fuzz=scene.fuzz[sphere_idx],
+        ior=scene.ior[sphere_idx],
+    )
+
+
 def scatter(
     key: jax.Array,
     ray_o: jnp.ndarray,
@@ -69,16 +82,30 @@ def scatter(
     scene: Scene,
 ) -> ScatterResult:
     """One scatter event for a wavefront of rays that hit sphere_idx at t."""
+    return scatter_gathered(
+        key, ray_o, ray_d, t, gather_hit_params(scene, sphere_idx)
+    )
+
+
+def scatter_gathered(
+    key: jax.Array,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t: jnp.ndarray,
+    params: dict,
+) -> ScatterResult:
+    """scatter() with the winning-sphere attributes already gathered — the
+    entry point for the scene-sharded (object-server-parallel) path, where
+    the gather is a masked psum over the scene mesh axis."""
     r = ray_o.shape[0]
     k_unit, k_choice = jax.random.split(key)
 
-    # Gather winning-sphere attributes (the HitRecord mat clone, sphere.rs:55).
-    centers = scene.centers[sphere_idx]      # [R,3]
-    radii = scene.radii[sphere_idx]          # [R]
-    albedo = scene.albedo[sphere_idx]        # [R,3]
-    mat = scene.mat_type[sphere_idx]         # [R]
-    fuzz = scene.fuzz[sphere_idx]            # [R]
-    ior = scene.ior[sphere_idx]              # [R]
+    centers = params["centers"]  # [R,3]
+    radii = params["radii"]      # [R]
+    albedo = params["albedo"]    # [R,3]
+    mat = params["mat"]          # [R]
+    fuzz = params["fuzz"]        # [R]
+    ior = params["ior"]          # [R]
 
     p, normal, front_face = surface_geometry(ray_o, ray_d, t, centers, radii)
 

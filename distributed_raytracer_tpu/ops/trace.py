@@ -120,12 +120,18 @@ def trace_rays(
     ray_d: jnp.ndarray,
     key: jax.Array,
     max_depth: int,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """Differentiable fixed-depth trace.  Returns colors [R,3].
 
     Rays still active after max_depth bounces contribute black
     (camera.rs:120-123: `depth <= 0` -> black), which the masked scan gets
     for free because inactive-at-exit lanes never wrote a color.
+
+    remat: checkpoint each bounce so the backward pass stores only the
+    [R]-sized carry per step instead of the dense [R, N] intersection
+    residuals — O(depth*R) memory instead of O(depth*R*N), the standard
+    HBM-for-FLOPs trade on TPU.
     """
     state = init_state(ray_o, ray_d)
     keys = jax.random.split(key, max_depth)
@@ -133,6 +139,8 @@ def trace_rays(
     def step(s: RayState, k: jax.Array):
         return bounce_step(s, k, scene), None
 
+    if remat:
+        step = jax.checkpoint(step)
     final, _ = jax.lax.scan(step, state, keys)
     return final.color
 

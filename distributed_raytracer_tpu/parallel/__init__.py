@@ -1,0 +1,18 @@
+from distributed_raytracer_tpu.parallel.mesh import (  # noqa: F401
+    RAYS_AXIS,
+    SCENE_AXIS,
+    make_mesh,
+    ray_sharding,
+    replicated,
+    scene_sharding,
+)
+from distributed_raytracer_tpu.parallel.sharded import (  # noqa: F401
+    ShardedRenderer,
+    make_sharded_grad_fn,
+)
+from distributed_raytracer_tpu.parallel.scene_sharded import (  # noqa: F401
+    closest_hit_sharded,
+    make_scene_sharded_render,
+    shard_scene,
+    trace_rays_sharded,
+)

@@ -1,0 +1,199 @@
+"""Scene (sphere-axis) sharding: the object-server role as ICI collectives.
+
+The reference shards the scene across 50 object servers (360 AABB cells
+round-robined, orchestrator_server.rs:119-143) and a ray server asks each
+relevant shard owner "does my ray hit your objects?" over a per-bounce TCP
+round-trip (`CheckHit`, ray_server.rs:63-66 -> object_server.rs:34-38),
+ANDing the per-shard results (ray_server.rs:88-91).
+
+TPU-native: shard the sphere axis of the Scene SoA over the mesh's "scene"
+axis.  Inside shard_map, every device intersects the whole ray wavefront
+against ITS sphere shard, then one `all_gather` of per-shard (t, local idx)
+pairs replaces all CheckHit round-trips; the global closest hit is a min
+over shards, and the winner's material parameters are fetched with a masked
+`psum` (exactly one shard contributes nonzero).  Per bounce that is two
+small collectives over ICI instead of O(shards) TCP connections.
+
+Replication for fault tolerance (NUM_REPEAT_OBJECT=10, config.rs:13) is
+unnecessary: the TPU runtime restarts the whole slice on chip loss and the
+render resumes from the progressive checkpoint (render/progressive.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from distributed_raytracer_tpu.core import vecmath as vm
+from distributed_raytracer_tpu.models.scene import Scene
+from distributed_raytracer_tpu.ops import materials
+from distributed_raytracer_tpu.ops.camera import Camera, generate_rays
+from distributed_raytracer_tpu.ops.intersect import HitResult, candidate_ts
+from distributed_raytracer_tpu.ops.trace import RayState, init_state, sky_color
+from distributed_raytracer_tpu.parallel.mesh import RAYS_AXIS, SCENE_AXIS, pad_to_multiple
+
+
+def closest_hit_sharded(
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    scene_shard: Scene,
+    axis_name: str = SCENE_AXIS,
+) -> HitResult:
+    """Global closest hit from per-shard local intersections.
+
+    Call inside shard_map with scene_shard = this device's sphere shard.
+    Returns GLOBAL sphere indices (shard_id * shard_size + local idx).
+    """
+    t_all = candidate_ts(ray_o, ray_d, scene_shard)      # [R, N_local]
+    t_loc = jnp.min(t_all, axis=-1)                      # [R]
+    i_loc = jnp.argmin(t_all, axis=-1).astype(jnp.int32)  # [R]
+
+    # one collective replaces the per-shard CheckHit round-trips
+    t_gall = jax.lax.all_gather(t_loc, axis_name)        # [S, R]
+    i_gall = jax.lax.all_gather(i_loc, axis_name)        # [S, R]
+    winner = jnp.argmin(t_gall, axis=0).astype(jnp.int32)  # [R]
+    t = jnp.min(t_gall, axis=0)
+    n_local = scene_shard.num_spheres
+    idx_local_win = jnp.take_along_axis(i_gall, winner[None, :], axis=0)[0]
+    idx_global = winner * n_local + idx_local_win
+    return HitResult(t=t, idx=idx_global, hit=t < vm.BIG * 0.5)
+
+
+def gather_params_sharded(
+    scene_shard: Scene,
+    idx_global: jnp.ndarray,
+    axis_name: str = SCENE_AXIS,
+) -> dict:
+    """Winning-sphere attributes via masked psum: the shard owning the
+    winner contributes its values, everyone else zeros."""
+    n_local = scene_shard.num_spheres
+    my_shard = jax.lax.axis_index(axis_name)
+    owner = idx_global // n_local
+    local_idx = jnp.where(owner == my_shard, idx_global - owner * n_local, 0)
+    mine = (owner == my_shard).astype(jnp.float32)
+
+    def fetch(arr, is_vec):
+        g = arr[local_idx]
+        m = mine[:, None] if is_vec else mine
+        return jax.lax.psum(g * m, axis_name)
+
+    mat_f = fetch(scene_shard.mat_type.astype(jnp.float32), False)
+    return dict(
+        centers=fetch(scene_shard.centers, True),
+        radii=fetch(scene_shard.radii, False),
+        albedo=fetch(scene_shard.albedo, True),
+        mat=mat_f.astype(jnp.int32),
+        fuzz=fetch(scene_shard.fuzz, False),
+        ior=fetch(scene_shard.ior, False),
+    )
+
+
+def bounce_step_sharded(
+    state: RayState, key: jax.Array, scene_shard: Scene, axis_name: str = SCENE_AXIS
+) -> RayState:
+    """One masked bounce with the scene sharded — the collective form of
+    ops/trace.bounce_step (one ray_color_iteration, camera.rs:118-144)."""
+    hit_res = closest_hit_sharded(state.origin, state.direction, scene_shard, axis_name)
+    params = gather_params_sharded(scene_shard, hit_res.idx, axis_name)
+    t_safe = jnp.where(hit_res.hit, hit_res.t, 1.0)
+    # ior=0 for rays that missed every shard (psum of zeros); make it safe
+    params["ior"] = jnp.where(hit_res.hit, params["ior"], 1.0)
+    params["radii"] = jnp.where(hit_res.hit, params["radii"], 1.0)
+    sc = materials.scatter_gathered(
+        key, state.origin, state.direction, t_safe, params
+    )
+
+    finish_miss = state.active & ~hit_res.hit
+    keep_going = state.active & hit_res.hit & sc.scattered
+
+    sky = sky_color(state.direction)
+    color = jnp.where(finish_miss[:, None], state.attenuation * sky, state.color)
+    return RayState(
+        origin=jnp.where(keep_going[:, None], sc.origin, state.origin),
+        direction=jnp.where(keep_going[:, None], sc.direction, state.direction),
+        attenuation=jnp.where(
+            keep_going[:, None], state.attenuation * sc.attenuation, state.attenuation
+        ),
+        color=color,
+        active=keep_going,
+    )
+
+
+def trace_rays_sharded(
+    scene_shard: Scene,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    axis_name: str = SCENE_AXIS,
+) -> jnp.ndarray:
+    """Fixed-depth trace with scene sharded over axis_name (inside shard_map)."""
+    state = init_state(ray_o, ray_d)
+    keys = jax.random.split(key, max_depth) if max_depth > 0 else jnp.zeros(
+        (0, 2), jnp.uint32
+    )
+
+    def step(s, k):
+        return bounce_step_sharded(s, k, scene_shard, axis_name), None
+
+    final, _ = jax.lax.scan(step, state, keys)
+    return final.color
+
+
+def shard_scene(scene: Scene, n_shards: int) -> Scene:
+    """Pad the sphere axis to a multiple of n_shards (padding spheres never
+    hit — see SceneBuilder.build) so shards are equal-sized."""
+    n = scene.num_spheres
+    m = pad_to_multiple(n, n_shards)
+    if m == n:
+        return scene
+    pad = m - n
+    return Scene(
+        centers=jnp.concatenate(
+            [scene.centers, jnp.tile(jnp.asarray([[0.0, -1e8, 0.0]], jnp.float32), (pad, 1))]
+        ),
+        radii=jnp.concatenate([scene.radii, jnp.zeros((pad,), jnp.float32)]),
+        albedo=jnp.concatenate([scene.albedo, jnp.zeros((pad, 3), jnp.float32)]),
+        mat_type=jnp.concatenate(
+            [scene.mat_type, jnp.full((pad,), 3, jnp.int32)]  # ABSORB
+        ),
+        fuzz=jnp.concatenate([scene.fuzz, jnp.zeros((pad,), jnp.float32)]),
+        ior=jnp.concatenate([scene.ior, jnp.ones((pad,), jnp.float32)]),
+    )
+
+
+def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[int] = None):
+    """Jitted one-sample renderer with rays sharded over "rays" AND the scene
+    sharded over "scene" — the full 2D (ray servers x object servers)
+    topology of the reference, as one shard_mapped program.
+
+    Returns render(scene, key, sample_index, ids) -> colors [len(ids), 3];
+    ids must be length-padded to a multiple of mesh.shape["rays"].
+    """
+    depth = max_depth if max_depth is not None else camera.max_depth
+    w = camera.image_width
+
+    def local_fn(scene_shard: Scene, key: jax.Array, sample_index, ids):
+        # per-ray-shard key: fold in the rays-axis index so different ray
+        # tiles draw independent noise, while scene-axis members stay in
+        # lockstep (they must agree on every draw).
+        k = jax.random.fold_in(key, sample_index)
+        k = jax.random.fold_in(k, jax.lax.axis_index(RAYS_AXIS))
+        k_cam, k_trace = jax.random.split(k)
+        o, d = generate_rays(camera, k_cam, ids % w, ids // w)
+        return trace_rays_sharded(scene_shard, o, d, k_trace, depth)
+
+    smapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS), P(), P(), P(RAYS_AXIS)),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

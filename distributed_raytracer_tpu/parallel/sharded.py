@@ -1,0 +1,160 @@
+"""Ray/pixel data-parallel rendering over the device mesh.
+
+The TPU-native replacement for the reference's ray-server fan-out: the
+orchestrator streams each ray over its own TCP connection to a ray server
+chosen by `(i+j+sample) % NUM_RAY_SERVERS` (orchestrator_server.rs:59-68),
+and finished pixels come back one TCP connection each (ray_server.rs:93-103).
+Here the pixel grid is sharded across the mesh's "rays" axis with GSPMD
+sharding annotations; the forward bounce loop is embarrassingly parallel
+(zero cross-device traffic), and the only collectives are:
+
+  - gradient psum over scene/camera parameters in the backward pass
+    (inserted automatically by XLA since the scene is replicated), and
+  - the progressive image fan-in, which is just the output sharding.
+
+No discovery, no retries, no 128-byte truncation hazards
+(distributed_common.rs:62-85) — the runtime provides membership and
+reliable transport.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from distributed_raytracer_tpu.grad.diff_render import image_loss
+from distributed_raytracer_tpu.models.scene import Scene
+from distributed_raytracer_tpu.ops.camera import Camera, generate_rays
+from distributed_raytracer_tpu.ops.trace import trace_rays, trace_rays_fast
+from distributed_raytracer_tpu.parallel.mesh import (
+    RAYS_AXIS,
+    pad_to_multiple,
+    ray_sharding,
+    replicated,
+)
+
+
+def _padded_pixel_ids(camera: Camera, multiple: int) -> jnp.ndarray:
+    n = camera.num_pixels
+    m = pad_to_multiple(n, multiple)
+    ids = np.arange(m, dtype=np.int32)
+    ids[n:] = 0  # padding lanes re-render pixel 0; sliced off on return
+    return jnp.asarray(ids)
+
+
+def _render_ids(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    sample_indices: jnp.ndarray,
+    ids: jnp.ndarray,
+    differentiable: bool,
+) -> jnp.ndarray:
+    """Sum of per-sample colors for the given flat pixel ids, [len(ids), 3].
+
+    Pure data-parallel math on the ids axis: sharding ids shards everything
+    downstream (rays, bounce state, dense [R,N] intersection buffers).
+    """
+    tracer = trace_rays if differentiable else trace_rays_fast
+    w = camera.image_width
+
+    def one_sample(acc, s):
+        k = jax.random.fold_in(key, s)
+        k_cam, k_trace = jax.random.split(k)
+        o, d = generate_rays(camera, k_cam, ids % w, ids // w)
+        return acc + tracer(scene, o, d, k_trace, camera.max_depth), None
+
+    acc0 = jnp.zeros((ids.shape[0], 3), jnp.float32)
+    acc, _ = jax.lax.scan(one_sample, acc0, sample_indices)
+    return acc
+
+
+class ShardedRenderer:
+    """Mesh-sharded progressive renderer (GSPMD auto-partitioning).
+
+    Scene and camera are replicated; pixel ids (and therefore all per-ray
+    state) are sharded over the "rays" mesh axis.
+    """
+
+    def __init__(self, mesh: Mesh, camera: Camera, differentiable: bool = False):
+        self.mesh = mesh
+        self.camera = camera
+        n_shards = mesh.shape[RAYS_AXIS]
+        # pad so every device gets an equal tile (static shapes)
+        self.ids = jax.device_put(
+            _padded_pixel_ids(camera, n_shards), ray_sharding(mesh)
+        )
+        rep = replicated(mesh)
+        self._render = jax.jit(
+            functools.partial(_render_ids, differentiable=differentiable),
+            in_shardings=(rep, rep, rep, rep, ray_sharding(mesh)),
+            out_shardings=ray_sharding(mesh),
+        )
+
+    def render_sample_sum(
+        self, scene: Scene, key: jax.Array, sample_indices: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Sharded color sums [num_pixels, 3] for the given global samples."""
+        out = self._render(scene, self.camera, key, sample_indices, self.ids)
+        return out[: self.camera.num_pixels]
+
+    def render_image(self, scene: Scene, seed: int = 0, spp: Optional[int] = None,
+                     batch: int = 16) -> np.ndarray:
+        spp = spp if spp is not None else self.camera.samples_per_pixel
+        key = jax.random.PRNGKey(seed)
+        acc = jnp.zeros((self.camera.num_pixels, 3), jnp.float32)
+        done = 0
+        while done < spp:
+            n = min(batch, spp - done)
+            s = jnp.arange(done, done + n, dtype=jnp.int32)
+            acc = acc + self.render_sample_sum(scene, key, s)
+            done += n
+        img = np.asarray(jax.device_get(acc)) / spp
+        return img.reshape(self.camera.image_height, self.camera.image_width, 3)
+
+
+def make_sharded_grad_fn(mesh: Mesh, camera: Camera):
+    """Jitted (loss, scene-grads) over the mesh: rays sharded, scene
+    replicated.  XLA inserts the cross-device psum for the scene-parameter
+    cotangents (the replicated-input transpose rule) — the collective the
+    reference has no analogue for (it never computes gradients)."""
+    rep = replicated(mesh)
+    rs = ray_sharding(mesh)
+
+    def loss_fn(params, scene, key, sample_indices, ids, target, weight):
+        s = scene.with_diff_params(params)
+        total = _render_ids(s, camera, key, sample_indices, ids, differentiable=True)
+        img = total / sample_indices.shape[0]
+        # masked MSE: padding lanes (weight 0) must not contribute
+        se = jnp.sum((img - target) ** 2, axis=-1) * weight
+        return jnp.sum(se) / (3.0 * camera.num_pixels)
+
+    vg = jax.value_and_grad(loss_fn)
+    jit_vg = jax.jit(
+        vg,
+        in_shardings=(rep, rep, rep, rep, rs, rs, rs),
+        out_shardings=(rep, rep),
+    )
+    n_shards = mesh.shape[RAYS_AXIS]
+    ids = jax.device_put(_padded_pixel_ids(camera, n_shards), rs)
+    n_pix = camera.num_pixels
+    m = ids.shape[0]
+    weight = jax.device_put(
+        jnp.asarray(np.arange(m) < n_pix, jnp.float32), rs
+    )
+
+    def grad_fn(scene: Scene, key, sample_indices, target) -> Tuple[jnp.ndarray, dict]:
+        tgt = jnp.zeros((m, 3), jnp.float32).at[:n_pix].set(
+            jnp.asarray(target).reshape(-1, 3)
+        )
+        tgt = jax.device_put(tgt, rs)
+        return jit_vg(
+            scene.diff_params(), scene, key, sample_indices, ids, tgt, weight
+        )
+
+    return grad_fn

@@ -1,0 +1,174 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest.py).
+
+The parity bar: sharded execution must produce results consistent with the
+single-device renderer — unlike the reference, whose distributed mode
+silently renders 1 spp regardless of config (camera.rs:77,93-95) and whose
+correctness was only ever eyeballed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distributed_raytracer_tpu.models.scene import SceneBuilder
+from distributed_raytracer_tpu.ops.camera import generate_rays, make_camera
+from distributed_raytracer_tpu.ops.intersect import closest_hit
+from distributed_raytracer_tpu.ops.materials import gather_hit_params
+from distributed_raytracer_tpu.ops.trace import trace_rays
+from distributed_raytracer_tpu.parallel import (
+    RAYS_AXIS,
+    SCENE_AXIS,
+    ShardedRenderer,
+    make_mesh,
+    make_scene_sharded_render,
+    make_sharded_grad_fn,
+    shard_scene,
+)
+from distributed_raytracer_tpu.render.renderer import render_image
+
+
+def scene_and_cam(width=64):
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.8, 0.8, 0.0))
+        .add_lambertian((0, 0, -1.2), 0.5, (0.1, 0.2, 0.5))
+        .add_metal((1, 0, -1), 0.5, (0.8, 0.6, 0.2), 0.2)
+        .add_dielectric((-1, 0, -1), 0.5, 1.5)
+        .add_metal((0.3, -0.2, -0.8), 0.15, (0.9, 0.3, 0.3), 0.0)
+        .build()
+    )
+    cam = make_camera(aspect_ratio=2.0, image_width=width, samples_per_pixel=4, max_depth=6)
+    return scene, cam
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape[RAYS_AXIS] == 8 and m.shape[SCENE_AXIS] == 1
+    m2 = make_mesh(n_rays=4, n_scene=2)
+    assert m2.shape[RAYS_AXIS] == 4 and m2.shape[SCENE_AXIS] == 2
+    with pytest.raises(ValueError):
+        make_mesh(n_rays=3, n_scene=3)
+
+
+def test_ray_sharded_matches_single_device():
+    scene, cam = scene_and_cam()
+    mesh = make_mesh()
+    r = ShardedRenderer(mesh, cam)
+    img_sharded = r.render_image(scene, seed=0, spp=4)
+    # single-device rendering with identical key folding: renderer tiles by
+    # 32768 (one tile at this size) vs sharded tiles; per-ray keys are
+    # folded per (sample, tile) in renderer.py but per (sample,) here, so
+    # noise differs — compare statistically.
+    img_single = render_image(scene, cam, seed=0, spp=4)
+    assert img_sharded.shape == img_single.shape
+    diff = np.abs(img_sharded - img_single).mean()
+    assert diff < 0.06, diff  # same scene, same spp, different noise streams
+
+
+def test_ray_sharded_deterministic():
+    scene, cam = scene_and_cam()
+    mesh = make_mesh()
+    r = ShardedRenderer(mesh, cam)
+    a = r.render_image(scene, seed=1, spp=2)
+    b = r.render_image(scene, seed=1, spp=2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_grads_match_replicated():
+    scene, cam = scene_and_cam(width=32)
+    mesh = make_mesh()
+    grad_fn = make_sharded_grad_fn(mesh, cam)
+    key = jax.random.PRNGKey(0)
+    s = jnp.arange(2, dtype=jnp.int32)
+    target = np.zeros((cam.num_pixels, 3), np.float32)
+    loss, grads = grad_fn(scene, key, s, target)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
+    assert np.any(np.asarray(grads["albedo"]) != 0)
+
+
+# ---------------- scene sharding (object-server parallelism) ----------------
+
+
+def test_closest_hit_sharded_matches_replicated():
+    scene, _ = scene_and_cam()
+    mesh = make_mesh(n_rays=1, n_scene=8)
+    padded = shard_scene(scene, 8)
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-3, 3, (64, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from distributed_raytracer_tpu.parallel.scene_sharded import closest_hit_sharded
+
+    fn = shard_map(
+        lambda ss, oo, dd: closest_hit_sharded(oo, dd, ss),
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    t_s, idx_s, hit_s = fn(padded, o, d)
+    ref = closest_hit(o, d, padded)
+
+    np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(t_s)[h], np.asarray(ref.t)[h], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_s)[h], np.asarray(ref.idx)[h])
+
+
+def test_scene_sharded_render_matches_replicated_trace():
+    """Full 2D mesh (rays x scene): the sharded render must EXACTLY match a
+    replicated trace fed the same rays and keys."""
+    scene, cam = scene_and_cam(width=32)
+    mesh = make_mesh(n_rays=4, n_scene=2)
+    padded = shard_scene(scene, 2)
+    render = make_scene_sharded_render(mesh, cam)
+
+    n = cam.num_pixels  # 32x16 = 512, divisible by 4
+    ids = jnp.arange(n, dtype=jnp.int32)
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(render(padded, key, jnp.int32(0), ids))
+
+    # replicated reference with the same per-shard key folding
+    w = cam.image_width
+    shard = n // 4
+    ref = np.zeros((n, 3), np.float32)
+    for rshard in range(4):
+        k = jax.random.fold_in(jax.random.fold_in(key, 0), rshard)
+        k_cam, k_trace = jax.random.split(k)
+        tids = ids[rshard * shard : (rshard + 1) * shard]
+        o, d = generate_rays(cam, k_cam, tids % w, tids // w)
+        ref[rshard * shard : (rshard + 1) * shard] = np.asarray(
+            trace_rays(padded, o, d, k_trace, cam.max_depth)
+        )
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_gather_params_sharded_matches_gather():
+    scene, _ = scene_and_cam()
+    mesh = make_mesh(n_rays=1, n_scene=4)
+    padded = shard_scene(scene, 4)
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, padded.num_spheres, 32), jnp.int32)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from distributed_raytracer_tpu.parallel.scene_sharded import gather_params_sharded
+
+    fn = shard_map(
+        lambda ss, ii: gather_params_sharded(ss, ii),
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = fn(padded, idx)
+    ref = gather_hit_params(padded, idx)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-6, err_msg=k
+        )
