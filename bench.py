@@ -45,22 +45,32 @@ def main():
     from distributed_raytracer_tpu.grad.diff_render import image_loss
     from distributed_raytracer_tpu.models.presets import final_scene_camera, rtiow_final_scene
     from distributed_raytracer_tpu.ops.camera import generate_rays
-    from distributed_raytracer_tpu.ops.trace import trace_rays, trace_rays_fast
+    from distributed_raytracer_tpu.ops.pallas.intersect_kernel import closest_hit_pallas
+    from distributed_raytracer_tpu.ops.trace import trace_rays
+    from distributed_raytracer_tpu.render.wavefront import render_wavefront_sum
 
-    scene = rtiow_final_scene(seed=0)
+    scene = rtiow_final_scene(seed=0, pad_to=512)
     camera = final_scene_camera(image_width=1200, spp=500)
     w = camera.image_width
     depth = camera.max_depth
+    on_tpu = jax.devices()[0].platform != "cpu"
     log(f"scene: {scene.num_spheres} spheres; {w}x{camera.image_height} depth {depth}")
     log(f"devices: {jax.devices()}")
 
-    n_rays = 131072  # one timing tile; full frame = 810k rays x 500 spp
+    n_rays = 131072
+    intersect = closest_hit_pallas if on_tpu else None
+
+    # fwd: the production path — wavefront pool + fused Pallas intersect.
+    # One call = `spp_bench` full-image samples (N = num_pixels * spp rays).
+    spp_bench = 1
+    fwd_total = camera.num_pixels * spp_bench
 
     @jax.jit
-    def fwd(scene, ids, key):
-        k1, k2 = jax.random.split(key)
-        o, d = generate_rays(camera, k1, ids % w, ids // w)
-        return trace_rays_fast(scene, o, d, k2, depth)
+    def fwd(scene, key):
+        kwargs = {"intersect_fn": intersect} if intersect else {}
+        return render_wavefront_sum(
+            scene, camera, key, spp_bench, pool_size=131072, **kwargs
+        )
 
     @jax.jit
     def fwd_bwd(params, scene, ids, key):
@@ -68,7 +78,8 @@ def main():
             s = scene.with_diff_params(p)
             k1, k2 = jax.random.split(key)
             o, d = generate_rays(camera, k1, ids % w, ids // w)
-            colors = trace_rays(s, o, d, k2, depth)
+            kwargs = {"intersect_fn": intersect} if intersect else {}
+            colors = trace_rays(s, o, d, k2, depth, **kwargs)
             return image_loss(colors, jnp.zeros_like(colors))
 
         return jax.value_and_grad(loss_fn)(params)
@@ -76,14 +87,14 @@ def main():
     ids = jnp.arange(n_rays, dtype=jnp.int32) % camera.num_pixels
     key = jax.random.PRNGKey(0)
 
-    t_fwd = timed(fwd, scene, ids, key)
-    fwd_rps = n_rays / t_fwd
-    log(f"fwd:     {t_fwd*1e3:8.2f} ms/{n_rays} rays -> {fwd_rps:,.0f} rays/s")
+    t_fwd = timed(fwd, scene, key)
+    fwd_rps = fwd_total / t_fwd
+    log(f"fwd (wavefront): {t_fwd*1e3:8.2f} ms/{fwd_total} rays -> {fwd_rps:,.0f} rays/s")
 
     params = scene.diff_params()
     t_fb = timed(lambda *a: fwd_bwd(params, *a), scene, ids, key)
     fb_rps = n_rays / t_fb
-    log(f"fwd+bwd: {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
+    log(f"fwd+bwd (scan): {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
 
     print(
         json.dumps(

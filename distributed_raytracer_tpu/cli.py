@@ -68,6 +68,29 @@ def cmd_render(args):
     from distributed_raytracer_tpu.utils.metrics import RenderMetrics
 
     scene, cam = _load(args)
+    if args.wavefront:
+        import time as _time
+
+        from distributed_raytracer_tpu.render.wavefront import render_image_wavefront
+
+        t0 = _time.time()
+        img = render_image_wavefront(
+            scene,
+            cam,
+            seed=args.seed,
+            spp=cam.samples_per_pixel,
+            batch=args.batch,
+            use_pallas=args.pallas,
+        )
+        el = _time.time() - t0
+        out = args.out or f"{args.config}.ppm"
+        write_ppm(out, img)
+        rays = cam.num_pixels * cam.samples_per_pixel
+        print(
+            f"wavefront: {rays:,} rays in {el:.1f}s ({rays / el:,.0f} rays/s); wrote {out}",
+            file=sys.stderr,
+        )
+        return
     metrics = RenderMetrics()
     out = args.out or f"{args.config}.ppm"
     t0 = time.time()
@@ -202,6 +225,10 @@ def main(argv=None):
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="write progressive ppm every N samples")
+    p.add_argument("--wavefront", action="store_true",
+                   help="persistent-pool renderer (fast fwd path)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas intersect kernel (TPU only)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("render-dist", help="mesh-sharded render (all devices)")

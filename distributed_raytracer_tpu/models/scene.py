@@ -119,8 +119,12 @@ class SceneBuilder:
         def pad1(lst, fill):
             return np.asarray(list(lst) + [fill] * (m - n))
 
+        # padding spheres sit at the origin with radius 0; intersection code
+        # masks radius<=0 spheres out entirely (a far-away pad center would
+        # push the quadratic to 1e16-scale values where f32 rounding can
+        # flip the discriminant sign on real TPU hardware)
         centers = np.asarray(
-            list(self._centers) + [(0.0, -1e8, 0.0)] * (m - n), dtype=np.float32
+            list(self._centers) + [(0.0, 0.0, 0.0)] * (m - n), dtype=np.float32
         )
         return Scene(
             centers=jnp.asarray(centers),

@@ -48,8 +48,11 @@ def candidate_ts(
     d.c and o.c are [R,3] @ [3,N] matmuls.
     """
     centers_t = scene.centers.T  # [3, N]
-    d_dot_c = ray_d @ centers_t  # [R, N]
-    o_dot_c = ray_o @ centers_t  # [R, N]
+    # precision matters: TPU matmuls default to bf16 passes, which at the
+    # quadratic's value scales flips hit/miss on ~6% of rays (measured on
+    # v5e).  Force full f32 accumulation.
+    d_dot_c = jnp.matmul(ray_d, centers_t, precision="highest")  # [R, N]
+    o_dot_c = jnp.matmul(ray_o, centers_t, precision="highest")  # [R, N]
 
     a = jnp.sum(ray_d * ray_d, axis=-1, keepdims=True)       # [R, 1]
     d_dot_o = jnp.sum(ray_d * ray_o, axis=-1, keepdims=True)  # [R, 1]
@@ -70,7 +73,10 @@ def candidate_ts(
     root_near = (h - sqrtd) * inv_a
     root_far = (h + sqrtd) * inv_a
 
-    ok = disc >= 0.0
+    # radius<=0 marks padding spheres (SceneBuilder/shard_scene): mask them
+    # outright rather than trusting the discriminant at the f32 edge
+    real = (scene.radii > 0.0)[None, :]
+    ok = (disc >= 0.0) & real
     near_valid = ok & (root_near > t_min) & (root_near < t_max)
     far_valid = ok & (root_far > t_min) & (root_far < t_max)
     t = jnp.where(near_valid, root_near, jnp.where(far_valid, root_far, BIG))

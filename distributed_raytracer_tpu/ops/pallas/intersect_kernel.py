@@ -8,22 +8,24 @@ kernel keeps the sphere-block sweep entirely in VMEM and writes only the
 [R]-sized results (t, idx), cutting HBM traffic per bounce from O(R*N) to
 O(R).
 
-Layout: rays arrive as six [R, 1] component columns (SoA — a [R, 3] array
-would tile terribly with its size-3 lane dim); the scene as five [1, Np]
-rows (cx, cy, cz, |c|^2 - r^2 precombined, and radius for the caller).
-Np must be a multiple of the lane width 128 (SceneBuilder pad_to /
-shard_scene handle padding with never-hit spheres).
+Layout (the part that matters on TPU): RAYS LIVE ON LANES.  Ray component
+arrays arrive as [1, R] rows blocked (1, BR); sphere components as [Np, 1]
+columns.  Per-sphere-chunk math produces (CHUNK, BR) tiles — sphere axis on
+sublanes, ray axis on lanes — so the closest-hit reduction is a sublane
+min/argmin and the per-ray outputs are naturally lane-major (1, BR).  (The
+transposed choice — rays on sublanes — wastes 127/128 lanes on every
+per-ray op and measured ~17x off peak.)
 
-Inside the kernel each grid step owns a (BR, 1) ray block and sweeps the
-sphere axis in (1, CHUNK) slices, carrying a running (t_min, argmin) pair —
-the vectorized form of hittable_list.rs:60-74's closest-so-far scan.
-The quadratic is sphere.rs:28-57's half-b form with strict surrounds
-semantics (interval.rs:31-33), identical to ops/intersect.py.
+The quadratic is sphere.rs:28-57's half-b form in the cancellation-free
+`oc = c - o` arrangement, with strict surrounds semantics
+(interval.rs:31-33).  Padding spheres are masked by r^2 = -1 (disc
+strictly negative regardless of rounding — radius<=0 marks padding, see
+SceneBuilder.build).
 
 Differentiability: pallas_call is opaque to AD, so closest_hit_pallas is a
 custom_vjp whose backward re-derives t for the winning sphere only with
-[R]-sized JAX math (the winner index is piecewise-constant, gradient
-flows through t alone) and scatter-adds sphere cotangents with segment_sum.
+[R]-sized JAX math (the winner index is piecewise-constant; gradient flows
+through t alone) and scatter-adds sphere cotangents with segment_sum.
 """
 
 from __future__ import annotations
@@ -41,73 +43,76 @@ from distributed_raytracer_tpu.models.scene import Scene
 from distributed_raytracer_tpu.ops.intersect import HitResult
 
 LANE = 128
-DEFAULT_BR = 256       # rays per grid step
-DEFAULT_CHUNK = 512    # spheres per VMEM sweep slice
+DEFAULT_BR = 512       # rays per grid step (lane axis)
+DEFAULT_CHUNK = 256    # spheres per VMEM sweep slice (sublane axis)
 
 
 def _intersect_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [BR, 1]
-    cx_ref, cy_ref, cz_ref, c2mr2_ref,               # [1, Np]
-    t_out, idx_out,                                   # [BR, 1]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [1, BR]
+    cx_ref, cy_ref, cz_ref, r2_ref,                  # [Np, 1]
+    t_out, idx_out,                                   # [1, BR]
     *, n_pad: int, chunk: int, t_min: float,
 ):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
-    # per-ray scalars, computed once per block (sphere.rs:31-34's a and
-    # the o-dependent parts of h and c)
-    a = dx * dx + dy * dy + dz * dz            # (BR,1)
+    a = dx * dx + dy * dy + dz * dz            # (1, BR)
     inv_a = 1.0 / a
-    d_dot_o = dx * ox + dy * oy + dz * oz      # (BR,1)
-    o_norm2 = ox * ox + oy * oy + oz * oz      # (BR,1)
 
-    br = ox.shape[0]
     n_chunks = n_pad // chunk
 
     def sweep(ci, carry):
         t_best, i_best = carry
-        cx = cx_ref[:, pl.ds(ci * chunk, chunk)]      # (1, CHUNK)
-        cy = cy_ref[:, pl.ds(ci * chunk, chunk)]
-        cz = cz_ref[:, pl.ds(ci * chunk, chunk)]
-        c2mr2 = c2mr2_ref[:, pl.ds(ci * chunk, chunk)]
+        cx = cx_ref[pl.ds(ci * chunk, chunk), :]      # (CHUNK, 1)
+        cy = cy_ref[pl.ds(ci * chunk, chunk), :]
+        cz = cz_ref[pl.ds(ci * chunk, chunk), :]
+        r2 = r2_ref[pl.ds(ci * chunk, chunk), :]
 
-        d_dot_c = dx * cx + dy * cy + dz * cz         # (BR, CHUNK)
-        o_dot_c = ox * cx + oy * cy + oz * cz
-        h = d_dot_c - d_dot_o
-        c_q = c2mr2 - 2.0 * o_dot_c + o_norm2
+        # oc form (sphere.rs:30-34): no large-term cancellation
+        ocx = cx - ox                                  # (CHUNK, BR)
+        ocy = cy - oy
+        ocz = cz - oz
+        h = dx * ocx + dy * ocy + dz * ocz
+        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
         disc = h * h - a * c_q
         ok = disc >= 0.0
         sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
         root_near = (h - sqrtd) * inv_a
         root_far = (h + sqrtd) * inv_a
-        near_ok = ok & (root_near > t_min) & (root_near < BIG)
-        far_ok = ok & (root_far > t_min) & (root_far < BIG)
+        near_ok = ok & (root_near > t_min)
+        far_ok = ok & (root_far > t_min)
         t = jnp.where(near_ok, root_near, jnp.where(far_ok, root_far, BIG))
 
-        t_chunk = jnp.min(t, axis=1, keepdims=True)               # (BR,1)
-        i_chunk = jnp.argmin(t, axis=1).astype(jnp.int32).reshape(br, 1)
+        t_chunk = jnp.min(t, axis=0, keepdims=True)               # (1, BR)
+        i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
         i_chunk = i_chunk + ci * chunk
         better = t_chunk < t_best
         return jnp.where(better, t_chunk, t_best), jnp.where(better, i_chunk, i_best)
 
-    t0 = jnp.full((br, 1), BIG, jnp.float32)
-    i0 = jnp.zeros((br, 1), jnp.int32)
+    br = ox.shape[1]
+    t0 = jnp.full((1, br), BIG, jnp.float32)
+    i0 = jnp.zeros((1, br), jnp.int32)
     t_best, i_best = jax.lax.fori_loop(0, n_chunks, sweep, (t0, i0))
     t_out[:] = t_best
     idx_out[:] = i_best
 
 
 def _pack_scene(scene: Scene):
+    """Scene columns sublane-padded to a multiple of the chunk size.
+    Padding AND radius<=0 spheres get r^2 = -1: disc = h^2 - a(|oc|^2 + 1)
+    <= -a < 0 for any ray, immune to rounding."""
     n = scene.num_spheres
-    assert n % LANE == 0, f"scene must be lane-padded (N={n}); use pad_to/shard_scene"
-    c = scene.centers
-    c2mr2 = jnp.sum(c * c, axis=-1) - scene.radii * scene.radii
+    m = -(-n // LANE) * LANE
+    pad = m - n
+    c = jnp.pad(scene.centers, ((0, pad), (0, 0)))
+    r2 = jnp.where(scene.radii > 0.0, scene.radii * scene.radii, -1.0)
+    r2 = jnp.pad(r2, (0, pad), constant_values=-1.0)
     return (
-        c[:, 0].reshape(1, n),
-        c[:, 1].reshape(1, n),
-        c[:, 2].reshape(1, n),
-        c2mr2.reshape(1, n),
-    )
+        c[:, 0].reshape(m, 1),
+        c[:, 1].reshape(m, 1),
+        c[:, 2].reshape(m, 1),
+        r2.reshape(m, 1),
+    ), m
 
 
 @functools.partial(jax.jit, static_argnames=("block_rays", "chunk"))
@@ -119,38 +124,35 @@ def _closest_hit_pallas_fwd_impl(
     chunk: int = DEFAULT_CHUNK,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r = ray_o.shape[0]
-    n = scene.num_spheres
-    chunk = min(chunk, n)
-    assert n % chunk == 0, (n, chunk)
-    br = min(block_rays, r)
+    srows, n = _pack_scene(scene)
+    while n % chunk != 0:
+        chunk //= 2
+    br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
     pad = (-r) % br
     rp = r + pad
 
-    def col(x):
-        return jnp.pad(x, (0, pad)).reshape(rp, 1)
+    def row(x):
+        return jnp.pad(x, (0, pad)).reshape(1, rp)
 
-    cols = [col(ray_o[:, i]) for i in range(3)] + [col(ray_d[:, i]) for i in range(3)]
-    srows = _pack_scene(scene)
+    rows = [row(ray_o[:, i]) for i in range(3)] + [row(ray_d[:, i]) for i in range(3)]
 
-    ray_spec = pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    scene_spec = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
-        functools.partial(
-            _intersect_kernel, n_pad=n, chunk=chunk, t_min=T_MIN
-        ),
+        functools.partial(_intersect_kernel, n_pad=n, chunk=chunk, t_min=T_MIN),
         grid=(rp // br,),
         in_specs=[ray_spec] * 6 + [scene_spec] * 4,
         out_specs=[
-            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
-    )(*cols, *srows)
-    return t[:r, 0], idx[:r, 0]
+    )(*rows, *srows)
+    return t[0, :r], idx[0, :r]
 
 
 def _winner_t(ray_o, ray_d, centers_w, radii_w):
@@ -203,14 +205,13 @@ def _bwd(block_rays, chunk, res, cot):
     seg = jnp.where(hit, idx, n)  # route misses to a dropped segment
     g_centers = jax.ops.segment_sum(g_cw, seg, num_segments=n + 1)[:n]
     g_radii = jax.ops.segment_sum(g_rw, seg, num_segments=n + 1)[:n]
-    zeros = lambda x: jnp.zeros_like(x)
     g_scene = Scene(
         centers=g_centers,
         radii=g_radii,
-        albedo=zeros(scene.albedo),
+        albedo=jnp.zeros_like(scene.albedo),
         mat_type=jnp.zeros_like(scene.mat_type),
-        fuzz=zeros(scene.fuzz),
-        ior=zeros(scene.ior),
+        fuzz=jnp.zeros_like(scene.fuzz),
+        ior=jnp.zeros_like(scene.ior),
     )
     return g_o, g_d, g_scene
 

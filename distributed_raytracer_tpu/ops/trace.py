@@ -73,11 +73,17 @@ def init_state(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> RayState:
     )
 
 
-def bounce_step(state: RayState, key: jax.Array, scene: Scene) -> RayState:
+def bounce_step(
+    state: RayState, key: jax.Array, scene: Scene, intersect_fn=closest_hit
+) -> RayState:
     """One masked bounce for the whole wavefront = one ray_color_iteration
     (camera.rs:118-144) = one object-server CheckHit (object_server.rs:34-38),
-    minus the network."""
-    hit_res = closest_hit(state.origin, state.direction, scene)
+    minus the network.
+
+    intersect_fn: closest-hit implementation — pure-JAX dense (default) or
+    the fused Pallas kernel (ops/pallas/intersect_kernel.closest_hit_pallas).
+    """
+    hit_res = intersect_fn(state.origin, state.direction, scene)
     # Missing rays carry t = BIG; feeding that into scatter() overflows f32
     # (p ~ 1e30, |p|^2 = inf) and the resulting NaNs leak back through the
     # masked where()s under reverse-mode AD (0 cotangent * inf = NaN).
@@ -121,6 +127,7 @@ def trace_rays(
     key: jax.Array,
     max_depth: int,
     remat: bool = True,
+    intersect_fn=closest_hit,
 ) -> jnp.ndarray:
     """Differentiable fixed-depth trace.  Returns colors [R,3].
 
@@ -137,7 +144,7 @@ def trace_rays(
     keys = jax.random.split(key, max_depth)
 
     def step(s: RayState, k: jax.Array):
-        return bounce_step(s, k, scene), None
+        return bounce_step(s, k, scene, intersect_fn), None
 
     if remat:
         step = jax.checkpoint(step)
@@ -151,6 +158,7 @@ def trace_rays_fast(
     ray_d: jnp.ndarray,
     key: jax.Array,
     max_depth: int,
+    intersect_fn=closest_hit,
 ) -> jnp.ndarray:
     """Forward-only trace with an early exit once every lane terminated.
 
@@ -168,7 +176,7 @@ def trace_rays_fast(
 
     def body(carry: Tuple[int, RayState]):
         i, s = carry
-        return i + 1, bounce_step(s, keys[i], scene)
+        return i + 1, bounce_step(s, keys[i], scene, intersect_fn)
 
     _, final = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
     return final.color

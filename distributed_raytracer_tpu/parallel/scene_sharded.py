@@ -156,7 +156,7 @@ def shard_scene(scene: Scene, n_shards: int) -> Scene:
     pad = m - n
     return Scene(
         centers=jnp.concatenate(
-            [scene.centers, jnp.tile(jnp.asarray([[0.0, -1e8, 0.0]], jnp.float32), (pad, 1))]
+            [scene.centers, jnp.zeros((pad, 3), jnp.float32)]
         ),
         radii=jnp.concatenate([scene.radii, jnp.zeros((pad,), jnp.float32)]),
         albedo=jnp.concatenate([scene.albedo, jnp.zeros((pad, 3), jnp.float32)]),

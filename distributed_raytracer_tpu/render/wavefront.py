@@ -1,0 +1,165 @@
+"""Wavefront (persistent ray-pool) renderer.
+
+The masked-scan tracer (ops/trace.py) pays for max_depth bounces on every
+ray even though most paths terminate after 2-5 bounces — at the reference
+workload's depth 50 (main.rs:59) that is ~10-20x wasted work in dead lanes.
+
+This renderer keeps a fixed pool of B lanes ~100% full of LIVE rays:
+each iteration (one `lax.while_loop` step, all static shapes):
+
+  1. REFILL — free lanes take the next (pixel, sample) rays from the
+     global ray stream (rank free lanes with a cumsum, cap by remaining).
+     This is the TPU-native form of the reference's ray-server work queue:
+     the orchestrator streaming rays into a server's mpsc channel
+     (orchestrator_server.rs:59-68 -> ray_server.rs:145-147), except the
+     "queue" is index arithmetic on a counter.
+  2. BOUNCE — one masked bounce_step for the whole pool (the CheckHit
+     round, camera.rs:118-144).
+  3. DRAIN — lanes that finished this bounce scatter-add their color into
+     the image accumulator (the SendPixel return path,
+     ray_server.rs:93-103, as a `.at[].add`); depth-exhausted lanes
+     contribute black (camera.rs:120-123) and free up.
+
+Total work ~= total_rays * avg_path_length / pool_utilization, instead of
+total_rays * max_depth.  Forward-only (while_loop): the production render
+path.  Gradients use the fixed-depth scan.
+
+RNG: draws are keyed per pool-iteration and consumed per lane, so every
+(pixel, sample) gets independent jitter/scatter noise; renders are
+reproducible for a fixed (seed, pool size, image size), but the noise
+stream differs from the scan renderer's (both are valid MC estimators of
+the same integral — verified statistically in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distributed_raytracer_tpu.models.scene import Scene
+from distributed_raytracer_tpu.ops.camera import Camera, generate_rays
+from distributed_raytracer_tpu.ops.intersect import closest_hit
+from distributed_raytracer_tpu.ops.trace import RayState, bounce_step
+
+DEFAULT_POOL = 131072
+
+
+def render_wavefront_sum(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    spp: int,
+    pool_size: int = DEFAULT_POOL,
+    intersect_fn=closest_hit,
+) -> jnp.ndarray:
+    """Color SUM image [num_pixels, 3] for spp samples per pixel."""
+    n_pix = camera.num_pixels
+    w = camera.image_width
+    total = n_pix * spp
+    b = min(pool_size, total)
+    max_depth = camera.max_depth
+
+    def body(carry):
+        st, pixel, depth, emitted, img, it = carry
+        k = jax.random.fold_in(key, it)
+        k_cam, k_bounce = jax.random.split(k)
+
+        # --- refill free lanes from the global ray stream ---
+        free = ~st.active
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1          # rank among free
+        remaining = total - emitted
+        take = free & (rank < remaining)
+        ray_idx = emitted + jnp.where(take, rank, 0)
+        pix = ray_idx % n_pix                                   # sample-major
+        new_o, new_d = generate_rays(camera, k_cam, pix % w, pix // w)
+        tk = take[:, None]
+        st = RayState(
+            origin=jnp.where(tk, new_o, st.origin),
+            direction=jnp.where(tk, new_d, st.direction),
+            attenuation=jnp.where(tk, 1.0, st.attenuation),
+            color=jnp.where(tk, 0.0, st.color),
+            active=st.active | take,
+        )
+        pixel = jnp.where(take, pix, pixel)
+        depth = jnp.where(take, 0, depth)
+        emitted = emitted + jnp.sum(take.astype(jnp.int32))
+
+        # --- one masked bounce for the whole pool ---
+        was_active = st.active
+        st2 = bounce_step(st, k_bounce, scene, intersect_fn)
+        depth = depth + was_active.astype(jnp.int32)
+
+        # --- drain finished lanes into the image ---
+        finished = was_active & ~st2.active        # wrote a color this bounce
+        exhausted = st2.active & (depth >= max_depth)  # depth out -> black
+        img = img.at[pixel].add(jnp.where(finished[:, None], st2.color, 0.0))
+        st3 = st2._replace(active=st2.active & ~exhausted)
+        return st3, pixel, depth, emitted, img, it + 1
+
+    def cond(carry):
+        st, _, _, emitted, _, _ = carry
+        return (emitted < total) | jnp.any(st.active)
+
+    st0 = RayState(
+        origin=jnp.zeros((b, 3), jnp.float32),
+        direction=jnp.zeros((b, 3), jnp.float32),
+        attenuation=jnp.ones((b, 3), jnp.float32),
+        color=jnp.zeros((b, 3), jnp.float32),
+        active=jnp.zeros((b,), bool),
+    )
+    carry0 = (
+        st0,
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((n_pix, 3), jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    *_, img, _ = jax.lax.while_loop(cond, body, carry0)
+    return img
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spp", "pool_size", "use_pallas")
+)
+def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas):
+    if use_pallas:
+        from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
+            closest_hit_pallas,
+        )
+
+        ifn = closest_hit_pallas
+    else:
+        ifn = closest_hit
+    return render_wavefront_sum(scene, camera, key, spp, pool_size, ifn)
+
+
+def render_image_wavefront(
+    scene: Scene,
+    camera: Camera,
+    seed: int = 0,
+    spp: Optional[int] = None,
+    batch: int = 32,
+    pool_size: int = DEFAULT_POOL,
+    use_pallas: bool = False,
+    progress_cb=None,
+) -> np.ndarray:
+    """Full-image wavefront render; returns linear mean [H, W, 3] on host.
+
+    batch: samples per device program (one jit call renders batch spp)."""
+    spp = spp if spp is not None else camera.samples_per_pixel
+    key = jax.random.PRNGKey(seed)
+    acc = jnp.zeros((camera.num_pixels, 3), jnp.float32)
+    done = 0
+    while done < spp:
+        n = min(batch, spp - done)
+        k = jax.random.fold_in(key, done)
+        acc = acc + _render_wavefront_jit(scene, camera, k, n, pool_size, use_pallas)
+        done += n
+        if progress_cb is not None:
+            progress_cb(done, np.asarray(acc) / done)
+    return (np.asarray(acc) / spp).reshape(camera.image_height, camera.image_width, 3)
