@@ -62,14 +62,14 @@ def main():
 
     # fwd: the production path — wavefront pool + fused Pallas intersect.
     # One call = `spp_bench` full-image samples (N = num_pixels * spp rays).
-    spp_bench = 1
+    spp_bench = 4
     fwd_total = camera.num_pixels * spp_bench
 
     @jax.jit
     def fwd(scene, key):
         kwargs = {"intersect_fn": intersect} if intersect else {}
         return render_wavefront_sum(
-            scene, camera, key, spp_bench, pool_size=131072, **kwargs
+            scene, camera, key, spp_bench, pool_size=65536, **kwargs
         )
 
     @jax.jit

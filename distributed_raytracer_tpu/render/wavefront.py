@@ -15,10 +15,12 @@ each iteration (one `lax.while_loop` step, all static shapes):
      "queue" is index arithmetic on a counter.
   2. BOUNCE — one masked bounce_step for the whole pool (the CheckHit
      round, camera.rs:118-144).
-  3. DRAIN — lanes that finished this bounce scatter-add their color into
-     the image accumulator (the SendPixel return path,
-     ray_server.rs:93-103, as a `.at[].add`); depth-exhausted lanes
-     contribute black (camera.rs:120-123) and free up.
+  3. DRAIN — lanes that finished this bounce store their color into a
+     per-ray buffer keyed by global ray index (the SendPixel return path,
+     ray_server.rs:93-103, as a unique-index scatter-set — measured ~100x
+     cheaper on TPU than a duplicate-index scatter-add into the image);
+     depth-exhausted lanes contribute black (camera.rs:120-123) and free
+     up.  The per-pixel image is one reshape+sum at pass end.
 
 Total work ~= total_rays * avg_path_length / pool_utilization, instead of
 total_rays * max_depth.  Forward-only (while_loop): the production render
@@ -64,7 +66,7 @@ def render_wavefront_sum(
     max_depth = camera.max_depth
 
     def body(carry):
-        st, pixel, depth, emitted, img, it = carry
+        st, lane_ray, depth, emitted, out, it = carry
         k = jax.random.fold_in(key, it)
         k_cam, k_bounce = jax.random.split(k)
 
@@ -84,7 +86,7 @@ def render_wavefront_sum(
             color=jnp.where(tk, 0.0, st.color),
             active=st.active | take,
         )
-        pixel = jnp.where(take, pix, pixel)
+        lane_ray = jnp.where(take, ray_idx, lane_ray)
         depth = jnp.where(take, 0, depth)
         emitted = emitted + jnp.sum(take.astype(jnp.int32))
 
@@ -93,12 +95,16 @@ def render_wavefront_sum(
         st2 = bounce_step(st, k_bounce, scene, intersect_fn)
         depth = depth + was_active.astype(jnp.int32)
 
-        # --- drain finished lanes into the image ---
+        # --- drain finished lanes: store by GLOBAL RAY INDEX.  Ray indices
+        # are unique across the whole pass, so this is a cheap unique-index
+        # scatter-set into the per-ray buffer (summed per pixel at the end),
+        # not a slow duplicate-index scatter-add into the image. ---
         finished = was_active & ~st2.active        # wrote a color this bounce
         exhausted = st2.active & (depth >= max_depth)  # depth out -> black
-        img = img.at[pixel].add(jnp.where(finished[:, None], st2.color, 0.0))
+        slot = jnp.where(finished, lane_ray, total)    # non-finished: dropped
+        out = out.at[slot].set(st2.color, mode="drop", unique_indices=True)
         st3 = st2._replace(active=st2.active & ~exhausted)
-        return st3, pixel, depth, emitted, img, it + 1
+        return st3, lane_ray, depth, emitted, out, it + 1
 
     def cond(carry):
         st, _, _, emitted, _, _ = carry
@@ -116,11 +122,12 @@ def render_wavefront_sum(
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.asarray(0, jnp.int32),
-        jnp.zeros((n_pix, 3), jnp.float32),
+        jnp.zeros((total, 3), jnp.float32),  # per-ray color buffer
         jnp.asarray(0, jnp.int32),
     )
-    *_, img, _ = jax.lax.while_loop(cond, body, carry0)
-    return img
+    *_, out, _ = jax.lax.while_loop(cond, body, carry0)
+    # per-ray -> per-pixel: ray_idx = sample * n_pix + pixel (sample-major)
+    return jnp.sum(out.reshape(spp, n_pix, 3), axis=0)
 
 
 @functools.partial(
