@@ -57,7 +57,7 @@ def main():
     log(f"scene: {scene.num_spheres} spheres; {w}x{camera.image_height} depth {depth}")
     log(f"devices: {jax.devices()}")
 
-    n_rays = 131072
+    n_rays = 65536
     intersect = closest_hit_pallas if on_tpu else None
 
     # fwd: the production path — wavefront pool + fused Pallas intersect.
@@ -79,7 +79,9 @@ def main():
             k1, k2 = jax.random.split(key)
             o, d = generate_rays(camera, k1, ids % w, ids // w)
             kwargs = {"intersect_fn": intersect} if intersect else {}
-            colors = trace_rays(s, o, d, k2, depth, **kwargs)
+            # remat off: with the Pallas intersect the per-bounce
+            # residuals are [R]-sized, so storing them beats recompute
+            colors = trace_rays(s, o, d, k2, depth, remat=False, **kwargs)
             return image_loss(colors, jnp.zeros_like(colors))
 
         return jax.value_and_grad(loss_fn)(params)

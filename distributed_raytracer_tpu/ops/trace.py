@@ -128,6 +128,7 @@ def trace_rays(
     max_depth: int,
     remat: bool = True,
     intersect_fn=closest_hit,
+    early_skip: bool = True,
 ) -> jnp.ndarray:
     """Differentiable fixed-depth trace.  Returns colors [R,3].
 
@@ -138,13 +139,32 @@ def trace_rays(
     remat: checkpoint each bounce so the backward pass stores only the
     [R]-sized carry per step instead of the dense [R, N] intersection
     residuals — O(depth*R) memory instead of O(depth*R*N), the standard
-    HBM-for-FLOPs trade on TPU.
+    HBM-for-FLOPs trade on TPU.  With the Pallas intersect kernel the
+    non-carry residuals are [R]-sized too, so remat=False (store, don't
+    recompute) is usually faster when memory allows.
+
+    early_skip: wrap each bounce in lax.cond(any(active), ...) so once the
+    whole batch has terminated the remaining steps reduce to a no-op at
+    runtime — in both the forward scan and its transpose (lax.cond is
+    reverse-differentiable and its transpose conds on the same predicate).
+    A batch whose longest path is 20 pays ~20 bounces of a depth-50 scan.
     """
     state = init_state(ray_o, ray_d)
     keys = jax.random.split(key, max_depth)
 
-    def step(s: RayState, k: jax.Array):
-        return bounce_step(s, k, scene, intersect_fn), None
+    def bounce(s: RayState, k: jax.Array) -> RayState:
+        return bounce_step(s, k, scene, intersect_fn)
+
+    if early_skip:
+
+        def step(s: RayState, k: jax.Array):
+            s2 = jax.lax.cond(jnp.any(s.active), bounce, lambda s, _: s, s, k)
+            return s2, None
+
+    else:
+
+        def step(s: RayState, k: jax.Array):
+            return bounce(s, k), None
 
     if remat:
         step = jax.checkpoint(step)

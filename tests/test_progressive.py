@@ -1,0 +1,85 @@
+"""Progressive accumulation + checkpoint/resume (the fault-tolerance story
+replacing the reference's retry-forever replication, ray_server.rs:62-86)."""
+
+import os
+
+import numpy as np
+
+from distributed_raytracer_tpu.models.presets import config1
+from distributed_raytracer_tpu.render.progressive import AccumState, render_progressive
+
+
+def small(cam):
+    return cam.replace(samples_per_pixel=8)
+
+
+def test_straight_render_matches_render_image(tmp_path):
+    scene, cam = config1()
+    cam = small(cam)
+    st = render_progressive(scene, cam, seed=0, spp=8, batch=4)
+    from distributed_raytracer_tpu.render.renderer import render_image
+
+    img = render_image(scene, cam, seed=0, spp=8, batch=4)
+    np.testing.assert_allclose(st.mean_image(), img, atol=1e-6)
+
+
+def test_resume_is_bit_identical(tmp_path):
+    scene, cam = config1()
+    cam = small(cam)
+    ck = str(tmp_path / "r.ckpt")
+
+    # interrupted run: stop after 4 of 8 samples
+    class Stop(Exception):
+        pass
+
+    def interrupt(state):
+        if state.samples_done >= 4:
+            raise Stop
+
+    try:
+        render_progressive(
+            scene, cam, seed=0, spp=8, batch=2, checkpoint_path=ck, progress_cb=interrupt
+        )
+    except Stop:
+        pass
+    assert os.path.exists(ck)
+    mid = AccumState.load(ck)
+    assert mid.samples_done == 4
+
+    resumed = render_progressive(
+        scene, cam, seed=0, spp=8, batch=2, checkpoint_path=ck
+    )
+    straight = render_progressive(scene, cam, seed=0, spp=8, batch=2)
+    np.testing.assert_array_equal(resumed.raw_sum, straight.raw_sum)
+    assert resumed.samples_done == straight.samples_done == 8
+
+
+def test_incompatible_checkpoint_restarts(tmp_path):
+    scene, cam = config1()
+    cam = small(cam)
+    ck = str(tmp_path / "r.ckpt")
+    render_progressive(scene, cam, seed=1, spp=2, batch=2, checkpoint_path=ck)
+    # different seed -> checkpoint ignored, fresh render
+    st = render_progressive(scene, cam, seed=2, spp=2, batch=2, checkpoint_path=ck)
+    fresh = render_progressive(scene, cam, seed=2, spp=2, batch=2)
+    np.testing.assert_array_equal(st.raw_sum, fresh.raw_sum)
+
+
+def test_checkpoint_atomic_save(tmp_path):
+    scene, cam = config1()
+    cam = small(cam)
+    ck = str(tmp_path / "r.ckpt")
+    st = render_progressive(scene, cam, seed=0, spp=2, batch=2, checkpoint_path=ck)
+    # no stray tmp files left behind
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".tmp")] == []
+    loaded = AccumState.load(ck)
+    np.testing.assert_array_equal(loaded.raw_sum, st.raw_sum)
+
+
+def test_mean_image_zero_count_guard():
+    st = AccumState(
+        raw_sum=np.ones((4, 3), np.float32), samples_done=0, seed=0,
+        image_width=2, image_height=2,
+    )
+    img = st.mean_image()  # colors.rs:40's zero-count guard
+    np.testing.assert_array_equal(img.reshape(-1, 3), np.ones((4, 3)))
