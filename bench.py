@@ -72,16 +72,25 @@ def main():
             scene, camera, key, spp_bench, pool_size=65536, **kwargs
         )
 
+    # fwd+bwd: the path-replay tracer — recording forward scan + wavefront
+    # backward pool (O(total path length) instead of O(R * max_depth))
+    from distributed_raytracer_tpu.grad.pathgrad import make_pathgrad_tracer
+    from distributed_raytracer_tpu.ops.intersect import closest_hit
+
+    tracer = make_pathgrad_tracer(
+        jax.random.PRNGKey(1),
+        depth,
+        pool_divisor=8,
+        intersect_fn=intersect if intersect else closest_hit,
+    )
+
     @jax.jit
     def fwd_bwd(params, scene, ids, key):
         def loss_fn(p):
             s = scene.with_diff_params(p)
-            k1, k2 = jax.random.split(key)
+            k1, _ = jax.random.split(key)
             o, d = generate_rays(camera, k1, ids % w, ids // w)
-            kwargs = {"intersect_fn": intersect} if intersect else {}
-            # remat off: with the Pallas intersect the per-bounce
-            # residuals are [R]-sized, so storing them beats recompute
-            colors = trace_rays(s, o, d, k2, depth, remat=False, **kwargs)
+            colors = tracer(s, o, d)
             return image_loss(colors, jnp.zeros_like(colors))
 
         return jax.value_and_grad(loss_fn)(params)

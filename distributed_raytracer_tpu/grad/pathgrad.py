@@ -1,0 +1,507 @@
+"""Path-replay backward: gradients in O(total path length), not O(R * depth).
+
+The differentiable scan tracer (ops/trace.trace_rays) pays max_depth
+bounces per ray in BOTH directions even though the average RTiOW path is
+~2-4 bounces — at the flagship depth 50 that is >10x dead-lane work in the
+backward pass, and the backward pass is the headline metric (fwd+bwd
+rays/s).
+
+This module implements the same estimator with a custom VJP:
+
+  FORWARD   one masked scan (as usual) that additionally records, per
+            (bounce, ray): the incoming carry (origin, direction,
+            attenuation — 9 f32), the winning sphere index, and the
+            hit/active flags.  ~42 B per (bounce, ray) of HBM.
+
+  BACKWARD  a wavefront pool over PATH SEGMENTS, mirroring the forward
+            wavefront renderer (render/wavefront.py): lanes hold rays being
+            replayed from their LAST bounce backwards; a drained lane
+            (pointer < 0) emits its (d ray_o, d ray_d) cotangent and is
+            refilled with the next ray from a longest-path-first queue.
+            Each iteration replays ONE bounce per lane — recomputing the
+            winning-sphere t analytically ([R]-sized math, no [R, N]
+            sweep), re-generating the exact same noise, and pulling
+            cotangents through jax.vjp of the local bounce.  Sphere-
+            parameter cotangents are segment-summed into the scene grads.
+
+            Work ~= sum of path lengths / pool utilization — the backward
+            analogue of wavefront path tracing.
+
+RNG discipline: draws are keyed per (ray, bounce) — fold_in(fold_in(key,
+ray_id), bounce) — so the backward replay regenerates bit-identical noise
+for any lane/iteration schedule.  This keying differs from trace_rays'
+per-bounce batch draws; both are valid fixed-noise estimators of the same
+integral, but colors are only bit-comparable within one tracer.
+
+Correctness is pinned by tests: jax.grad THROUGH the recording forward
+(custom VJP disabled) must match the custom backward exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from distributed_raytracer_tpu.core import rng as drng
+from distributed_raytracer_tpu.core import vecmath as vm
+from distributed_raytracer_tpu.models.scene import Scene
+from distributed_raytracer_tpu.ops import materials
+from distributed_raytracer_tpu.ops.intersect import closest_hit
+from distributed_raytracer_tpu.ops.pallas.intersect_kernel import _winner_t
+from distributed_raytracer_tpu.ops.trace import sky_color
+
+
+class _Step(NamedTuple):
+    """Per-(bounce, ray) forward record."""
+
+    o: jnp.ndarray       # [R,3] incoming origin
+    d: jnp.ndarray       # [R,3] incoming direction
+    atten: jnp.ndarray   # [R,3] incoming attenuation
+    idx: jnp.ndarray     # [R] winning sphere (junk when !hit)
+    hit: jnp.ndarray     # [R] bool
+    active: jnp.ndarray  # [R] bool — lane was alive entering this bounce
+
+
+def _ray_keys(key: jax.Array, n: int) -> jnp.ndarray:
+    return jax.vmap(lambda r: jax.random.fold_in(key, r))(jnp.arange(n, dtype=jnp.uint32))
+
+
+def _draws(keys_rb: jax.Array):
+    """(unit vec [B,3], uniform [B]) from per-lane keys."""
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        return drng.unit_vector(k1, ()), jax.random.uniform(k2, (), jnp.float32)
+
+    return jax.vmap(one)(keys_rb)
+
+
+def _draws_at(key: jax.Array, ray_ids: jnp.ndarray, bounce_ids: jnp.ndarray):
+    keys = jax.vmap(
+        lambda r, b: jax.random.fold_in(jax.random.fold_in(key, r), b)
+    )(ray_ids.astype(jnp.uint32), bounce_ids.astype(jnp.uint32))
+    return _draws(keys)
+
+
+def _local_bounce(o, d, atten, color, params, ruv, u, hit, active):
+    """One bounce given gathered winner params and explicit draws — the
+    differentiable local replay used by both directions.  Returns the new
+    (o, d, atten, color)."""
+    t = _winner_t(o, d, params["centers"], params["radii"])
+    t_safe = jnp.where(hit, t, 1.0)
+    sc = materials.scatter_gathered(
+        None, o, d, t_safe, params, draws=(ruv, u)
+    )
+    finish_miss = active & ~hit
+    keep = active & hit & sc.scattered
+    sky = sky_color(d)
+    color2 = jnp.where(finish_miss[:, None], atten * sky, color)
+    o2 = jnp.where(keep[:, None], sc.origin, o)
+    d2 = jnp.where(keep[:, None], sc.direction, d)
+    atten2 = jnp.where(keep[:, None], atten * sc.attenuation, atten)
+    return o2, d2, atten2, color2, keep
+
+
+def _gather_params(scene: Scene, idx, hit):
+    p = materials.gather_hit_params(scene, idx)
+    # misses gathered junk; make numerically safe (results are masked out)
+    p["radii"] = jnp.where(hit, p["radii"], 1.0)
+    p["ior"] = jnp.where(hit, p["ior"], 1.0)
+    return p
+
+
+def _forward_scan(scene, ray_o, ray_d, key, max_depth, intersect_fn):
+    """Masked scan with per-(ray, bounce) draws, recording _Step stacks."""
+    r = ray_o.shape[0]
+    keys_r = _ray_keys(key, r)
+
+    def bounce(carry, i):
+        o, d, atten, color, active = carry
+        res = intersect_fn(o, d, scene)
+        params = _gather_params(scene, res.idx, res.hit)
+        keys_rb = jax.vmap(jax.random.fold_in)(keys_r, jnp.full((r,), i, jnp.uint32))
+        ruv, u = _draws(keys_rb)
+        rec = _Step(o=o, d=d, atten=atten, idx=res.idx, hit=res.hit, active=active)
+        o2, d2, atten2, color2, keep = _local_bounce(
+            o, d, atten, color, params, ruv, u, res.hit, active
+        )
+        return (o2, d2, atten2, color2, keep), rec
+
+    def idle(carry, i):
+        o, d, atten, color, active = carry
+        rec = _Step(
+            o=o, d=d, atten=atten,
+            idx=jnp.zeros((r,), jnp.int32),
+            hit=jnp.zeros((r,), bool),
+            active=active,  # all-False here
+        )
+        return carry, rec
+
+    def step(carry, i):
+        # tail skip: once the whole batch terminated, remaining depth steps
+        # record inert rows at no compute cost
+        return jax.lax.cond(jnp.any(carry[4]), bounce, idle, carry, i)
+
+    init = (
+        ray_o,
+        ray_d,
+        jnp.ones((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.ones((r,), bool),
+    )
+    (o, d, atten, color, active), steps = jax.lax.scan(
+        step, init, jnp.arange(max_depth, dtype=jnp.int32)
+    )
+    return color, steps
+
+
+def _forward_wavefront(scene, ray_o, ray_d, key, max_depth, pool, intersect_fn):
+    """Wavefront (persistent pool) recording forward.
+
+    Because the custom VJP supplies the backward, the primal may use
+    data-dependent control flow freely — so the forward gets wavefront
+    efficiency (work ~ sum of path lengths) while staying differentiable
+    end to end.  Produces BIT-IDENTICAL colors and _Step stacks to
+    _forward_scan: draws are keyed per (ray, bounce), independent of lane
+    scheduling.
+    """
+    r = ray_o.shape[0]
+    b = min(pool, r)
+
+    flat_zeros = lambda tail, dt: jnp.zeros((max_depth * r + 1,) + tail, dt)
+    st = dict(
+        o=flat_zeros((3,), jnp.float32),
+        d=flat_zeros((3,), jnp.float32),
+        atten=flat_zeros((3,), jnp.float32),
+        idx=flat_zeros((), jnp.int32),
+        hit=flat_zeros((), bool),
+        active=flat_zeros((), bool),
+    )
+
+    def body(carry):
+        (o, d, atten, lane_ray, lane_depth, live, emitted, color_out, st, it) = carry
+
+        # refill
+        free = ~live
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        remaining = r - emitted
+        take = free & (rank < remaining)
+        new_ray = emitted + jnp.where(take, rank, 0)
+        nr = jnp.clip(new_ray, 0, r - 1)
+        tk = take[:, None]
+        o = jnp.where(tk, ray_o[nr], o)
+        d = jnp.where(tk, ray_d[nr], d)
+        atten = jnp.where(tk, 1.0, atten)
+        lane_ray = jnp.where(take, nr, lane_ray)
+        lane_depth = jnp.where(take, 0, lane_depth)
+        live = live | take
+        emitted = emitted + jnp.sum(take.astype(jnp.int32))
+
+        # bounce with per-(ray, depth) draws
+        res = intersect_fn(o, d, scene)
+        hit = res.hit & live
+        params = _gather_params(scene, res.idx, hit)
+        ruv, u = _draws_at(key, lane_ray, lane_depth)
+
+        # record
+        slot = jnp.where(live, lane_depth * r + lane_ray, max_depth * r + 1)
+        put_v = lambda arr, v: arr.at[slot].set(v, mode="drop", unique_indices=True)
+        st = dict(
+            o=put_v(st["o"], o),
+            d=put_v(st["d"], d),
+            atten=put_v(st["atten"], atten),
+            idx=put_v(st["idx"], res.idx),
+            hit=put_v(st["hit"], hit),
+            active=put_v(st["active"], live),
+        )
+
+        zero_c = jnp.zeros((b, 3), jnp.float32)
+        o2, d2, atten2, color2, keep = _local_bounce(
+            o, d, atten, zero_c, params, ruv, u, hit, live
+        )
+        lane_depth2 = lane_depth + live.astype(jnp.int32)
+        finished = live & ~keep
+        exhausted = keep & (lane_depth2 >= max_depth)
+        cslot = jnp.where(finished, lane_ray, r + 2)  # OOB -> dropped
+        color_out = color_out.at[cslot].set(color2, mode="drop", unique_indices=True)
+        live2 = keep & ~exhausted
+        return (o2, d2, atten2, lane_ray, lane_depth2, live2, emitted,
+                color_out, st, it + 1)
+
+    def cond(carry):
+        live, emitted = carry[5], carry[6]
+        return (emitted < r) | jnp.any(live)
+
+    carry0 = (
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.ones((b, 3), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((r + 2, 3), jnp.float32),
+        st,
+        jnp.asarray(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, carry0)
+    color_out, st = out[7], out[8]
+    unflat = lambda x: x[: max_depth * r].reshape((max_depth, r) + x.shape[1:])
+    steps = _Step(
+        o=unflat(st["o"]),
+        d=unflat(st["d"]),
+        atten=unflat(st["atten"]),
+        idx=unflat(st["idx"]),
+        hit=unflat(st["hit"]),
+        active=unflat(st["active"]),
+    )
+    return color_out[:r], steps
+
+
+def make_pathgrad_tracer(
+    key: jax.Array,
+    max_depth: int,
+    pool_divisor: int = 4,
+    intersect_fn=closest_hit,
+    use_custom_vjp: bool = True,
+    primal: str = "scan",
+    primal_pool: int = 65536,
+):
+    """Returns f(scene, ray_o, ray_d) -> colors [R,3] with the path-replay
+    VJP.  use_custom_vjp=False returns the identical recording forward but
+    lets JAX autodiff through it (the test oracle).
+
+    primal: "scan" (masked fixed-depth scan) or "wavefront" (persistent
+    pool; work ~ path lengths).  Both produce bit-identical colors and
+    records — draws are keyed per (ray, bounce)."""
+
+    def fwd_only(scene, ray_o, ray_d, k=None):
+        color, _ = _forward_scan(
+            scene, ray_o, ray_d, key if k is None else k, max_depth, intersect_fn
+        )
+        return color
+
+    if not use_custom_vjp:
+        return fwd_only
+
+    @jax.custom_vjp
+    def traced_k(scene, ray_o, ray_d, k):
+        return fwd_only(scene, ray_o, ray_d, k)
+
+    def traced_fwd(scene, ray_o, ray_d, k):
+        if primal == "wavefront":
+            color, steps = _forward_wavefront(
+                scene, ray_o, ray_d, k, max_depth, primal_pool, intersect_fn
+            )
+        else:
+            color, steps = _forward_scan(
+                scene, ray_o, ray_d, k, max_depth, intersect_fn
+            )
+        return color, (scene, steps, k)
+
+    def traced_bwd(res, g_color):
+        scene, steps, k = res
+        d_scene, g_o, g_d = _backward_pool(
+            scene, steps, g_color, k, max_depth, pool_divisor
+        )
+        import numpy as _np
+
+        d_k = _np.zeros(k.shape, dtype=jax.dtypes.float0)  # rng key: no cotangent
+        return d_scene, g_o, g_d, d_k
+
+    traced_k.defvjp(traced_fwd, traced_bwd)
+
+    def traced(scene, ray_o, ray_d, k=None):
+        return traced_k(scene, ray_o, ray_d, key if k is None else k)
+
+    return traced
+
+
+def _backward_pool(scene, steps: _Step, g_color, key, max_depth, pool_divisor):
+    """The wavefront backward: replay bounces in reverse, pool + refill."""
+    r = g_color.shape[0]
+    b = max(128, r // pool_divisor)
+    n = scene.num_spheres
+
+    # per-ray path length = number of bounces entered while active
+    path_len = jnp.sum(steps.active.astype(jnp.int32), axis=0)  # [R]
+    # longest-path-first queue minimizes the drain tail
+    queue = jnp.argsort(-path_len).astype(jnp.int32)            # [R]
+
+    # flatten stacks for (bounce, ray) gathers
+    flat = lambda x: x.reshape((max_depth * r,) + x.shape[2:])
+    st_o, st_d, st_at = flat(steps.o), flat(steps.d), flat(steps.atten)
+    st_idx, st_hit, st_act = flat(steps.idx), flat(steps.hit), flat(steps.active)
+
+    def local_f(o, d, atten, color, cw, rw, aw, fw, iw, mat, ruv, u, hit, active):
+        params = dict(centers=cw, radii=rw, albedo=aw, fuzz=fw, ior=iw, mat=mat)
+        o2, d2, atten2, color2, _ = _local_bounce(
+            o, d, atten, color, params, ruv, u, hit, active
+        )
+        return o2, d2, atten2, color2
+
+    def body(carry):
+        (lane_ray, ptr, cot_o, cot_d, cot_at, cot_c, qpos,
+         g_centers, g_radii, g_albedo, g_fuzz, g_ior, g_ray_o, g_ray_d) = carry
+
+        # --- refill drained lanes from the queue ---
+        free = ptr < 0
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        remaining = r - qpos
+        take = free & (rank < remaining)
+        qidx = jnp.clip(qpos + jnp.where(take, rank, 0), 0, r - 1)
+        new_ray = queue[qidx]
+        lane_ray = jnp.where(take, new_ray, lane_ray)
+        ptr = jnp.where(take, path_len[new_ray] - 1, ptr)
+        tk = take[:, None]
+        cot_c = jnp.where(tk, g_color[new_ray], cot_c)
+        cot_o = jnp.where(tk, 0.0, cot_o)
+        cot_d = jnp.where(tk, 0.0, cot_d)
+        cot_at = jnp.where(tk, 0.0, cot_at)
+        qpos = qpos + jnp.sum(take.astype(jnp.int32))
+
+        live = ptr >= 0
+        # --- gather the recorded forward state at (ptr, ray) ---
+        fi = jnp.clip(ptr, 0, max_depth - 1) * r + lane_ray
+        o_i, d_i, at_i = st_o[fi], st_d[fi], st_at[fi]
+        idx_i = st_idx[fi]
+        hit_i = st_hit[fi] & live
+        act_i = st_act[fi] & live
+        params = _gather_params(scene, idx_i, hit_i)
+        ruv, u = _draws_at(key, lane_ray, jnp.clip(ptr, 0, max_depth - 1))
+
+        # --- vjp through the local bounce ---
+        color_i = jnp.zeros_like(cot_c)  # color entering any recorded bounce is 0
+        _, vjp = jax.vjp(
+            local_f,
+            o_i, d_i, at_i, color_i,
+            params["centers"], params["radii"], params["albedo"],
+            params["fuzz"], params["ior"],
+            params["mat"], ruv, u, hit_i, act_i,
+        )
+        (d_o, d_d, d_at, d_c, d_cw, d_rw, d_aw, d_fw, d_iw,
+         *_rest) = vjp((cot_o, cot_d, cot_at, cot_c))
+
+        lv = live[:, None]
+        d_o = jnp.where(lv, d_o, 0.0)
+        d_d = jnp.where(lv, d_d, 0.0)
+        d_at = jnp.where(lv, d_at, 0.0)
+        d_c = jnp.where(lv, d_c, 0.0)
+
+        # --- accumulate sphere-parameter cotangents ---
+        seg = jnp.where(hit_i, idx_i, n)
+        g_centers = g_centers.at[seg].add(jnp.where(lv, d_cw, 0.0), mode="drop")
+        g_radii = g_radii.at[seg].add(jnp.where(live, d_rw, 0.0), mode="drop")
+        g_albedo = g_albedo.at[seg].add(jnp.where(lv, d_aw, 0.0), mode="drop")
+        g_fuzz = g_fuzz.at[seg].add(jnp.where(live, d_fw, 0.0), mode="drop")
+        g_ior = g_ior.at[seg].add(jnp.where(live, d_iw, 0.0), mode="drop")
+
+        ptr = jnp.where(live, ptr - 1, ptr)
+        # lanes that just hit ptr < 0 emit primary-ray cotangents; each ray
+        # drains exactly once, so the written indices are unique (non-done
+        # lanes are routed out of bounds and dropped)
+        done = live & (ptr < 0)
+        slot = jnp.where(done, lane_ray, r + 1)
+        g_ray_o = g_ray_o.at[slot].set(d_o, mode="drop", unique_indices=True)
+        g_ray_d = g_ray_d.at[slot].set(d_d, mode="drop", unique_indices=True)
+        return (lane_ray, ptr, d_o, d_d, d_at, d_c, qpos,
+                g_centers, g_radii, g_albedo, g_fuzz, g_ior, g_ray_o, g_ray_d)
+
+    def cond(carry):
+        qpos, ptr = carry[6], carry[1]
+        return (qpos < r) | jnp.any(ptr >= 0)
+
+    carry0 = (
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), -1, jnp.int32),
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((n + 1, 3), jnp.float32),
+        jnp.zeros((n + 1,), jnp.float32),
+        jnp.zeros((n + 1, 3), jnp.float32),
+        jnp.zeros((n + 1,), jnp.float32),
+        jnp.zeros((n + 1,), jnp.float32),
+        jnp.zeros((r + 1, 3), jnp.float32),
+        jnp.zeros((r + 1, 3), jnp.float32),
+    )
+    out = jax.lax.while_loop(cond, body, carry0)
+    (_, _, _, _, _, _, _,
+     g_centers, g_radii, g_albedo, g_fuzz, g_ior, g_ray_o, g_ray_d) = out
+
+    d_scene = Scene(
+        centers=g_centers[:n],
+        radii=g_radii[:n],
+        albedo=g_albedo[:n],
+        mat_type=jnp.zeros_like(scene.mat_type),
+        fuzz=g_fuzz[:n],
+        ior=g_ior[:n],
+    )
+    return d_scene, g_ray_o[:r], g_ray_d[:r]
+
+
+def make_image_grad_fn(
+    camera,
+    max_depth=None,
+    pool_divisor: int = 8,
+    intersect_fn=closest_hit,
+    seed: int = 0,
+):
+    """Full-image (loss, scene-grads) with the path-replay tracer.
+
+    Returns grad_fn(scene, target, sample_indices) where sample_indices is a
+    static-length i32 array of global sample numbers; loss is the MSE of the
+    mean image over those samples against target [H*W, 3].  One tracer jit
+    serves every sample (the sample key is a traced argument), and gradients
+    accumulate across samples by linearity of the mean.
+    """
+    from distributed_raytracer_tpu.ops.camera import generate_rays
+
+    depth = max_depth if max_depth is not None else camera.max_depth
+    root = jax.random.PRNGKey(seed)
+    w = camera.image_width
+    n_pix = camera.num_pixels
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    tracer = make_pathgrad_tracer(
+        root, depth, pool_divisor=pool_divisor, intersect_fn=intersect_fn
+    )
+
+    @jax.jit
+    def one_sample_colors(scene, s):
+        k = jax.random.fold_in(root, s)
+        k_cam, k_trace = jax.random.split(k)
+        o, d = generate_rays(camera, k_cam, ids % w, ids // w)
+        return tracer(scene, o, d, k_trace)
+
+    @jax.jit
+    def one_sample_vjp(params, scene, s, g_img):
+        """d(sum(colors_s * g_img))/d params — the per-sample pullback."""
+
+        def f(p):
+            return jnp.sum(one_sample_colors(scene.with_diff_params(p), s) * g_img)
+
+        return jax.grad(f)(params)
+
+    def grad_fn(scene: Scene, target, sample_indices):
+        target = jnp.asarray(target).reshape(n_pix, 3)
+        spp = len(sample_indices)
+        acc = jnp.zeros((n_pix, 3), jnp.float32)
+        for s in sample_indices:
+            acc = acc + one_sample_colors(scene, jnp.int32(s))
+        img = acc / spp
+        loss = jnp.mean((img - target) ** 2)
+        # dL/d(color of sample s) = 2 (img - target) / (3 * n_pix * spp)
+        g_img = 2.0 * (img - target) / (3.0 * n_pix * spp)
+        params = scene.diff_params()
+        grads = None
+        for s in sample_indices:
+            g = one_sample_vjp(params, scene, jnp.int32(s), g_img)
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+        return loss, grads
+
+    return grad_fn

@@ -80,10 +80,11 @@ def scatter(
     t: jnp.ndarray,
     sphere_idx: jnp.ndarray,
     scene: Scene,
+    draws=None,
 ) -> ScatterResult:
     """One scatter event for a wavefront of rays that hit sphere_idx at t."""
     return scatter_gathered(
-        key, ray_o, ray_d, t, gather_hit_params(scene, sphere_idx)
+        key, ray_o, ray_d, t, gather_hit_params(scene, sphere_idx), draws=draws
     )
 
 
@@ -93,12 +94,17 @@ def scatter_gathered(
     ray_d: jnp.ndarray,
     t: jnp.ndarray,
     params: dict,
+    draws: "tuple[jnp.ndarray, jnp.ndarray] | None" = None,
 ) -> ScatterResult:
     """scatter() with the winning-sphere attributes already gathered — the
     entry point for the scene-sharded (object-server-parallel) path, where
-    the gather is a masked psum over the scene mesh axis."""
+    the gather is a masked psum over the scene mesh axis.
+
+    draws: optionally supply the random draws externally as
+    (unit_vectors [R,3], uniform [R]) — used by the path-replay backward
+    (grad/pathgrad.py), which must regenerate the exact same noise per
+    (ray, bounce) outside the scan."""
     r = ray_o.shape[0]
-    k_unit, k_choice = jax.random.split(key)
 
     centers = params["centers"]  # [R,3]
     radii = params["radii"]      # [R]
@@ -109,7 +115,12 @@ def scatter_gathered(
 
     p, normal, front_face = surface_geometry(ray_o, ray_d, t, centers, radii)
 
-    ruv = drng.unit_vector(k_unit, r)  # shared draw across material branches
+    if draws is None:
+        k_unit, k_choice = jax.random.split(key)
+        ruv = drng.unit_vector(k_unit, r)  # shared draw across material branches
+        u_choice = drng.uniform(k_choice, r)
+    else:
+        ruv, u_choice = draws
 
     # --- Lambertian (material.rs:46-56) ---
     lam_dir = normal + ruv
@@ -132,8 +143,7 @@ def scatter_gathered(
     r0 = (1.0 - ri) / (1.0 + ri)
     r0 = r0 * r0
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
-    u = drng.uniform(k_choice, r)
-    choose_reflect = cannot_refract | (reflectance > u)
+    choose_reflect = cannot_refract | (reflectance > u_choice)
     diel_dir = jnp.where(
         choose_reflect[:, None],
         vm.reflect(unit_d, normal),
