@@ -98,14 +98,24 @@ def main():
     ids = jnp.arange(n_rays, dtype=jnp.int32) % camera.num_pixels
     key = jax.random.PRNGKey(0)
 
-    t_fwd = timed(fwd, scene, key)
-    fwd_rps = fwd_total / t_fwd
-    log(f"fwd (wavefront): {t_fwd*1e3:8.2f} ms/{fwd_total} rays -> {fwd_rps:,.0f} rays/s")
-
+    # headline first: every compile goes through a slow remote tunnel with no
+    # persistent cache, so measure fwd+bwd before anything optional and emit
+    # the JSON line even if the forward-only extra doesn't fit the budget.
     params = scene.diff_params()
     t_fb = timed(lambda *a: fwd_bwd(params, *a), scene, ids, key)
     fb_rps = n_rays / t_fb
-    log(f"fwd+bwd (scan): {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
+    log(f"fwd+bwd (path-replay): {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
+
+    extras = {
+        "baseline_note": "Rust ref publishes no numbers; est 5.6e4 rays/s single-core",
+    }
+    try:
+        t_fwd = timed(fwd, scene, key)
+        fwd_rps = fwd_total / t_fwd
+        log(f"fwd (wavefront): {t_fwd*1e3:8.2f} ms/{fwd_total} rays -> {fwd_rps:,.0f} rays/s")
+        extras["fwd_rays_per_sec"] = round(fwd_rps, 1)
+    except Exception as e:  # pragma: no cover - defensive
+        log(f"fwd-only bench skipped: {type(e).__name__}: {e}")
 
     print(
         json.dumps(
@@ -114,12 +124,10 @@ def main():
                 "value": round(fb_rps, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(fb_rps / RUST_REF_RAYS_PER_SEC_EST, 3),
-                "extras": {
-                    "fwd_rays_per_sec": round(fwd_rps, 1),
-                    "baseline_note": "Rust ref publishes no numbers; est 5.6e4 rays/s single-core",
-                },
+                "extras": extras,
             }
-        )
+        ),
+        flush=True,
     )
 
 

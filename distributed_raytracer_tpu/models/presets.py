@@ -79,6 +79,32 @@ def final_scene_camera(image_width: int = 1200, spp: int = 500) -> Camera:
     )
 
 
+def random_sphere_field(
+    n: int, seed: int = 0, extent: float = 50.0, pad_to: Optional[int] = None
+) -> Scene:
+    """A large random sphere field (same material mix as the RTiOW scene) for
+    acceleration-structure benchmarks — scenes where the dense O(N) sweep
+    stops being optimal and the block-culled sweep wins."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+    for _ in range(n):
+        center = (
+            rng.uniform(-extent, extent),
+            rng.uniform(0.2, 3.0),
+            rng.uniform(-extent, extent),
+        )
+        radius = rng.uniform(0.15, 0.5)
+        choose = rng.random()
+        if choose < 0.8:
+            b.add_lambertian(center, radius, rng.random(3) * rng.random(3))
+        elif choose < 0.95:
+            b.add_metal(center, radius, rng.uniform(0.5, 1.0, 3), rng.uniform(0, 0.5))
+        else:
+            b.add_dielectric(center, radius, 1.5)
+    return b.build(pad_to=pad_to)
+
+
 # ---------------------------------------------------------------------------
 # BASELINE.json staged configs
 # ---------------------------------------------------------------------------

@@ -1,0 +1,272 @@
+"""Block-culled closest-hit sweep — the TPU-shaped acceleration structure.
+
+A classic BVH traversal (per-ray stack walk, bounding_box.rs's intent) is
+hostile to SIMD: every ray takes a different path.  The TPU-native
+equivalent keeps the dense VMEM sweep of intersect_kernel.py but makes the
+sphere axis HIERARCHICAL:
+
+  1. Host side (build_culled_scene): spheres are Morton-ordered by the
+     native cluster builder (native/dray_native.cpp) so each contiguous
+     CHUNK of the sphere axis is spatially tight; "huge" spheres (the
+     ground sphere) go in a leading always-swept chunk.  Each chunk gets a
+     bounding sphere.
+  2. Kernel side: before sweeping a chunk, one cheap (1, BR) test asks
+     whether ANY ray in the block can hit the chunk's bound CLOSER than its
+     current best t (occlusion-aware).  If not, `lax.cond` skips the whole
+     chunk — a block-granular version of the reference's front-to-back
+     cell traversal (ray_server.rs:56-60 + hittable_list.rs:42-55), with
+     the broken AABB slab test (bounding_box.rs:53-56) replaced by an
+     exact bounding-sphere test.
+
+Wins scale with scene size: at RTiOW's ~500 spheres the dense sweep is
+already near-optimal; at thousands of spheres the culled sweep skips most
+chunks for coherent ray blocks (see bench_culled in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from distributed_raytracer_tpu.core.vecmath import BIG, T_MIN
+from distributed_raytracer_tpu.models.scene import Scene
+from distributed_raytracer_tpu.ops.intersect import HitResult
+
+LANE = 128
+DEFAULT_BR = 512
+
+
+class CulledScene(NamedTuple):
+    """A Scene reordered for the culled sweep + its chunk bounds."""
+
+    scene: Scene           # Morton-ordered, chunk-padded
+    bounds_c: jnp.ndarray  # [n_chunks, 3] chunk bound centers
+    bounds_r2: jnp.ndarray  # [n_chunks] chunk bound radius^2 (inf => always sweep)
+    chunk: int             # spheres per chunk (static)
+
+
+def build_culled_scene(
+    scene: Scene, chunk: int = LANE, big_threshold: float = 50.0
+) -> CulledScene:
+    """Reorder a scene for block culling.
+
+    Spheres with radius >= big_threshold (or covering a large fraction of
+    the scene, e.g. the RTiOW ground sphere) go into leading always-swept
+    chunks; the rest are Morton-ordered via the native cluster builder and
+    padded to a chunk multiple."""
+    from distributed_raytracer_tpu import native
+
+    centers = np.asarray(scene.centers)
+    radii = np.asarray(scene.radii)
+    real = radii > 0
+    big = real & (radii >= big_threshold)
+    small = real & ~big
+
+    small_idx = np.where(small)[0]
+    if len(small_idx):
+        order_local, bounds = native.build_clusters(
+            centers[small_idx], radii[small_idx], chunk
+        )
+        small_sorted = small_idx[order_local]
+    else:
+        small_sorted = small_idx
+        bounds = np.zeros((0, 4), np.float32)
+
+    big_idx = np.where(big)[0]
+    n_big_chunks = -(-len(big_idx) // chunk) if len(big_idx) else 0
+    n_small_chunks = -(-len(small_sorted) // chunk) if len(small_sorted) else 0
+    n_chunks = max(n_big_chunks + n_small_chunks, 1)
+
+    def pad_ids(ids, n_chunks_for):
+        want = n_chunks_for * chunk
+        return np.concatenate([ids, np.full(want - len(ids), -1, np.int64)])
+
+    order = np.concatenate(
+        [pad_ids(big_idx, n_big_chunks), pad_ids(small_sorted, max(n_small_chunks, 1 - n_big_chunks))]
+    )
+
+    take = lambda arr, fill: jnp.asarray(
+        np.where(
+            (order >= 0)[(...,) + (None,) * (np.asarray(arr).ndim - 1)],
+            np.asarray(arr)[np.clip(order, 0, len(radii) - 1)],
+            fill,
+        )
+    )
+    reordered = Scene(
+        centers=take(scene.centers, 0.0),
+        radii=take(scene.radii, 0.0),
+        albedo=take(scene.albedo, 0.0),
+        mat_type=jnp.asarray(
+            np.where(order >= 0, np.asarray(scene.mat_type)[np.clip(order, 0, len(radii) - 1)], 3)
+        ).astype(jnp.int32),
+        fuzz=take(scene.fuzz, 0.0),
+        ior=take(scene.ior, 1.0),
+    )
+
+    bc = np.zeros((n_chunks, 3), np.float32)
+    br2 = np.full((n_chunks,), np.float32(np.inf))
+    for c in range(n_small_chunks):
+        if c < len(bounds):
+            bc[n_big_chunks + c] = bounds[c, :3]
+            br2[n_big_chunks + c] = bounds[c, 3] ** 2
+    # big chunks keep inf radius -> always swept
+    return CulledScene(
+        scene=reordered,
+        bounds_c=jnp.asarray(bc),
+        bounds_r2=jnp.asarray(br2),
+        chunk=chunk,
+    )
+
+
+def _culled_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # [1, BR]
+    cx_ref, cy_ref, cz_ref, r2_ref,                    # [Np, 1]
+    bx_ref, by_ref, bz_ref, br2_ref,                   # [C, 1]
+    t_out, idx_out,                                     # [1, BR]
+    *, n_chunks: int, chunk: int, t_min: float,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    br = ox.shape[1]
+
+    def sweep_chunk(ci, carry):
+        t_best, i_best = carry
+        cx = cx_ref[pl.ds(ci * chunk, chunk), :]
+        cy = cy_ref[pl.ds(ci * chunk, chunk), :]
+        cz = cz_ref[pl.ds(ci * chunk, chunk), :]
+        r2 = r2_ref[pl.ds(ci * chunk, chunk), :]
+        ocx = cx - ox
+        ocy = cy - oy
+        ocz = cz - oz
+        h = dx * ocx + dy * ocy + dz * ocz
+        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = h * h - a * c_q
+        ok = disc >= 0.0
+        sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        root_near = (h - sqrtd) * inv_a
+        root_far = (h + sqrtd) * inv_a
+        near_ok = ok & (root_near > t_min)
+        far_ok = ok & (root_far > t_min)
+        t = jnp.where(near_ok, root_near, jnp.where(far_ok, root_far, BIG))
+        t_chunk = jnp.min(t, axis=0, keepdims=True)
+        i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + ci * chunk
+        better = t_chunk < t_best
+        return jnp.where(better, t_chunk, t_best), jnp.where(better, i_chunk, i_best)
+
+    def visit(ci, carry):
+        t_best, _ = carry
+        # chunk bounding-sphere test, occlusion-aware: can ANY ray hit the
+        # bound closer than its current best?
+        bx = bx_ref[ci, 0]
+        by = by_ref[ci, 0]
+        bz = bz_ref[ci, 0]
+        br2v = br2_ref[ci, 0]
+        obx = bx - ox
+        oby = by - oy
+        obz = bz - oz
+        hb = dx * obx + dy * oby + dz * obz
+        cb = obx * obx + oby * oby + obz * obz - br2v
+        discb = hb * hb - a * cb
+        okb = discb >= 0.0
+        sq = jnp.sqrt(jnp.where(okb, discb, 0.0))
+        nearb = (hb - sq) * inv_a
+        farb = (hb + sq) * inv_a
+        possible = okb & (farb > t_min) & (nearb < t_best)
+        any_hit = jnp.any(possible) | ~jnp.isfinite(br2v)  # inf bound: always
+        return jax.lax.cond(any_hit, sweep_chunk, lambda _, c: c, ci, carry)
+
+    t0 = jnp.full((1, br), BIG, jnp.float32)
+    i0 = jnp.zeros((1, br), jnp.int32)
+    t_best, i_best = jax.lax.fori_loop(0, n_chunks, visit, (t0, i0))
+    t_out[:] = t_best
+    idx_out[:] = i_best
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "block_rays"))
+def _culled_fwd(
+    ray_o, ray_d, scene: Scene, bounds_c, bounds_r2, chunk: int,
+    block_rays: int = DEFAULT_BR,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r = ray_o.shape[0]
+    n = scene.num_spheres
+    assert n % chunk == 0, (n, chunk)
+    n_chunks = n // chunk
+    br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
+    pad = (-r) % br
+    rp = r + pad
+
+    def row(x):
+        return jnp.pad(x, (0, pad)).reshape(1, rp)
+
+    rows = [row(ray_o[:, i]) for i in range(3)] + [row(ray_d[:, i]) for i in range(3)]
+    c = scene.centers
+    r2 = jnp.where(scene.radii > 0.0, scene.radii * scene.radii, -1.0)
+    srows = [
+        c[:, 0].reshape(n, 1), c[:, 1].reshape(n, 1), c[:, 2].reshape(n, 1),
+        r2.reshape(n, 1),
+    ]
+    brows = [
+        bounds_c[:, 0].reshape(n_chunks, 1),
+        bounds_c[:, 1].reshape(n_chunks, 1),
+        bounds_c[:, 2].reshape(n_chunks, 1),
+        bounds_r2.reshape(n_chunks, 1),
+    ]
+
+    ray_spec = pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bound_spec = pl.BlockSpec((n_chunks, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    t, idx = pl.pallas_call(
+        functools.partial(
+            _culled_kernel, n_chunks=n_chunks, chunk=chunk, t_min=T_MIN
+        ),
+        grid=(rp // br,),
+        in_specs=[ray_spec] * 6 + [scene_spec] * 4 + [bound_spec] * 4,
+        out_specs=[
+            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        ],
+    )(*rows, *srows, *brows)
+    return t[0, :r], idx[0, :r]
+
+
+def make_culled_intersect(culled: CulledScene, block_rays: int = DEFAULT_BR):
+    """intersect_fn for ops/trace: closest hit via the block-culled sweep.
+
+    The trace must be run with culled.scene (the reordered scene) so that
+    material gathers see the same sphere order.  Differentiation uses the
+    same winner-only custom VJP as the dense kernel."""
+    from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
+        _bwd as _dense_bwd,
+        _winner_t,  # noqa: F401 (re-exported path for clarity)
+    )
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def intersect(ray_o, ray_d, scene):
+        t, idx = _culled_fwd(
+            ray_o, ray_d, scene, culled.bounds_c, culled.bounds_r2,
+            culled.chunk, block_rays,
+        )
+        return HitResult(t=t, idx=idx, hit=t < BIG * 0.5)
+
+    def fwd(ray_o, ray_d, scene):
+        res = intersect(ray_o, ray_d, scene)
+        return res, (ray_o, ray_d, scene, res.idx, res.hit)
+
+    def bwd(resid, cot):
+        return _dense_bwd(None, None, resid, cot)
+
+    intersect.defvjp(fwd, bwd)
+    return intersect
