@@ -26,6 +26,7 @@ from distributed_raytracer_tpu.render.renderer import (
     render_image,
     render_sample_batch,
 )
+from distributed_raytracer_tpu.render.wavefront import render_image_wavefront
 
 __version__ = "0.1.0"
 
@@ -35,6 +36,7 @@ __all__ = [
     "Camera",
     "make_camera",
     "render_image",
+    "render_image_wavefront",
     "render_sample_batch",
     "LAMBERTIAN",
     "METAL",
