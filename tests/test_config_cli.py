@@ -1,0 +1,53 @@
+"""Config dataclasses and CLI surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+from distributed_raytracer_tpu.utils.config import CameraConfig, RenderJobConfig
+
+
+def test_camera_config_builds():
+    cam = CameraConfig(image_width=64, aspect_ratio=2.0, samples_per_pixel=4).build()
+    assert cam.image_width == 64 and cam.image_height == 32
+    assert cam.samples_per_pixel == 4
+
+
+def test_job_config_roundtrip():
+    cfg = RenderJobConfig(preset="config1", seed=3, spp=7, batch=2)
+    s = cfg.to_json()
+    back = RenderJobConfig.from_json(s)
+    assert back.preset == "config1" and back.seed == 3 and back.spp == 7
+    scene, cam = back.build()
+    assert scene.num_spheres == 2
+    assert cam.samples_per_pixel == 7  # spp override applied
+
+
+def test_job_config_unknown_preset():
+    with pytest.raises(KeyError):
+        RenderJobConfig(preset="nope").build()
+
+
+def test_cli_render_and_gradcheck(tmp_path, capsys):
+    from distributed_raytracer_tpu.cli import main
+
+    out = str(tmp_path / "o.ppm")
+    main(["render", "--config", "config1", "--spp", "1", "--width", "64",
+          "--out", out])
+    assert os.path.exists(out)
+    from distributed_raytracer_tpu.render.image import read_ppm
+
+    img = read_ppm(out)
+    assert img.shape[1] == 64 and np.isfinite(img).all()
+
+    main(["grad-check", "--config", "config1", "--width", "32"])
+
+
+def test_cli_wavefront(tmp_path):
+    from distributed_raytracer_tpu.cli import main
+
+    out = str(tmp_path / "w.ppm")
+    main(["render", "--config", "config1", "--spp", "2", "--width", "64",
+          "--wavefront", "--out", out])
+    assert os.path.exists(out)
