@@ -73,6 +73,16 @@ def cmd_render(args):
 
         from distributed_raytracer_tpu.render.wavefront import render_image_wavefront
 
+        intersect_fn = None
+        if args.accel == "culled":
+            from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
+                build_culled_scene,
+                make_culled_intersect,
+            )
+
+            culled = build_culled_scene(scene)
+            scene = culled.scene  # reordered so material gathers line up
+            intersect_fn = make_culled_intersect(culled)
         t0 = _time.time()
         img = render_image_wavefront(
             scene,
@@ -81,6 +91,7 @@ def cmd_render(args):
             spp=cam.samples_per_pixel,
             batch=args.batch,
             use_pallas=args.pallas,
+            intersect_fn=intersect_fn,
         )
         el = _time.time() - t0
         out = args.out or f"{args.config}.ppm"
@@ -229,6 +240,8 @@ def main(argv=None):
                    help="persistent-pool renderer (fast fwd path)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas intersect kernel (TPU only)")
+    p.add_argument("--accel", choices=["none", "culled"], default="none",
+                   help="acceleration structure (culled = Morton block-culled sweep)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("render-dist", help="mesh-sharded render (all devices)")

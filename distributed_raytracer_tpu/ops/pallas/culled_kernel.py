@@ -126,23 +126,50 @@ def build_culled_scene(
 
 def _culled_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # [1, BR]
-    cx_ref, cy_ref, cz_ref, r2_ref,                    # [Np, 1]
-    bx_ref, by_ref, bz_ref, br2_ref,                   # [C, 1]
-    t_out, idx_out,                                     # [1, BR]
-    *, n_chunks: int, chunk: int, t_min: float,
+    cx_ref, cy_ref, cz_ref, r2_ref,                    # [CHUNK, 1] sphere block
+    bx_ref, by_ref, bz_ref, br2_ref,                   # [C, 1] chunk bounds
+    t_out, idx_out,                                     # [1, BR], revisited
+    *, chunk: int, t_min: float,
 ):
+    """2D grid (ray blocks, chunks), chunk fastest: Pallas pipelines the
+    sphere-chunk DMAs; the occlusion-aware bound test gates the sweep with
+    @pl.when (compute skipped; the prefetch DMA still happens, which is the
+    right trade — it overlaps with other chunks' compute)."""
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        t_out[:] = jnp.full_like(t_out, BIG)
+        idx_out[:] = jnp.zeros_like(idx_out)
+
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
-    br = ox.shape[1]
+    t_best = t_out[:]
 
-    def sweep_chunk(ci, carry):
-        t_best, i_best = carry
-        cx = cx_ref[pl.ds(ci * chunk, chunk), :]
-        cy = cy_ref[pl.ds(ci * chunk, chunk), :]
-        cz = cz_ref[pl.ds(ci * chunk, chunk), :]
-        r2 = r2_ref[pl.ds(ci * chunk, chunk), :]
+    # chunk bounding-sphere test: can ANY ray hit the bound closer than its
+    # current best?
+    bx = bx_ref[ci, 0]
+    by = by_ref[ci, 0]
+    bz = bz_ref[ci, 0]
+    br2v = br2_ref[ci, 0]
+    obx = bx - ox
+    oby = by - oy
+    obz = bz - oz
+    hb = dx * obx + dy * oby + dz * obz
+    cb = obx * obx + oby * oby + obz * obz - br2v
+    discb = hb * hb - a * cb
+    okb = discb >= 0.0
+    sq = jnp.sqrt(jnp.where(okb, discb, 0.0))
+    nearb = (hb - sq) * inv_a
+    farb = (hb + sq) * inv_a
+    possible = okb & (farb > t_min) & (nearb < t_best)
+    any_hit = jnp.any(possible) | ~jnp.isfinite(br2v)  # inf bound: always
+
+    @pl.when(any_hit)
+    def _sweep():
+        cx, cy, cz, r2 = cx_ref[:], cy_ref[:], cz_ref[:], r2_ref[:]
         ocx = cx - ox
         ocy = cy - oy
         ocz = cz - oz
@@ -159,35 +186,8 @@ def _culled_kernel(
         t_chunk = jnp.min(t, axis=0, keepdims=True)
         i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + ci * chunk
         better = t_chunk < t_best
-        return jnp.where(better, t_chunk, t_best), jnp.where(better, i_chunk, i_best)
-
-    def visit(ci, carry):
-        t_best, _ = carry
-        # chunk bounding-sphere test, occlusion-aware: can ANY ray hit the
-        # bound closer than its current best?
-        bx = bx_ref[ci, 0]
-        by = by_ref[ci, 0]
-        bz = bz_ref[ci, 0]
-        br2v = br2_ref[ci, 0]
-        obx = bx - ox
-        oby = by - oy
-        obz = bz - oz
-        hb = dx * obx + dy * oby + dz * obz
-        cb = obx * obx + oby * oby + obz * obz - br2v
-        discb = hb * hb - a * cb
-        okb = discb >= 0.0
-        sq = jnp.sqrt(jnp.where(okb, discb, 0.0))
-        nearb = (hb - sq) * inv_a
-        farb = (hb + sq) * inv_a
-        possible = okb & (farb > t_min) & (nearb < t_best)
-        any_hit = jnp.any(possible) | ~jnp.isfinite(br2v)  # inf bound: always
-        return jax.lax.cond(any_hit, sweep_chunk, lambda _, c: c, ci, carry)
-
-    t0 = jnp.full((1, br), BIG, jnp.float32)
-    i0 = jnp.zeros((1, br), jnp.int32)
-    t_best, i_best = jax.lax.fori_loop(0, n_chunks, visit, (t0, i0))
-    t_out[:] = t_best
-    idx_out[:] = i_best
+        t_out[:] = jnp.where(better, t_chunk, t_best)
+        idx_out[:] = jnp.where(better, i_chunk, idx_out[:])
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "block_rays"))
@@ -220,19 +220,17 @@ def _culled_fwd(
         bounds_r2.reshape(n_chunks, 1),
     ]
 
-    ray_spec = pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM)
-    scene_spec = pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bound_spec = pl.BlockSpec((n_chunks, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec((chunk, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    bound_spec = pl.BlockSpec((n_chunks, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
-        functools.partial(
-            _culled_kernel, n_chunks=n_chunks, chunk=chunk, t_min=T_MIN
-        ),
-        grid=(rp // br,),
+        functools.partial(_culled_kernel, chunk=chunk, t_min=T_MIN),
+        grid=(rp // br, n_chunks),
         in_specs=[ray_spec] * 6 + [scene_spec] * 4 + [bound_spec] * 4,
         out_specs=[
-            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, rp), jnp.float32),

@@ -48,53 +48,51 @@ DEFAULT_CHUNK = 256    # spheres per VMEM sweep slice (sublane axis)
 
 
 def _intersect_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [1, BR]
-    cx_ref, cy_ref, cz_ref, r2_ref,                  # [Np, 1]
-    t_out, idx_out,                                   # [1, BR]
-    *, n_pad: int, chunk: int, t_min: float,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [1, BR] ray block
+    cx_ref, cy_ref, cz_ref, r2_ref,                  # [CHUNK, 1] sphere block
+    t_out, idx_out,                                   # [1, BR], revisited
+    *, chunk: int, t_min: float,
 ):
+    """Grid = (ray blocks, sphere chunks); the chunk is the second (fastest)
+    grid dim, so Pallas pipelines chunk DMAs from HBM with double buffering
+    while the output block stays VMEM-resident across the sweep.  Only a
+    (CHUNK, 1) slice of the scene is ever in VMEM — a full [N, 1] scene
+    column wastes 127/128 lanes of every (8, 128) tile and OOMs VMEM beyond
+    ~4k spheres (hit in practice on an 8k-sphere scene)."""
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        t_out[:] = jnp.full_like(t_out, BIG)
+        idx_out[:] = jnp.zeros_like(idx_out)
+
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-
     a = dx * dx + dy * dy + dz * dz            # (1, BR)
     inv_a = 1.0 / a
 
-    n_chunks = n_pad // chunk
+    cx, cy, cz, r2 = cx_ref[:], cy_ref[:], cz_ref[:], r2_ref[:]  # (CHUNK, 1)
 
-    def sweep(ci, carry):
-        t_best, i_best = carry
-        cx = cx_ref[pl.ds(ci * chunk, chunk), :]      # (CHUNK, 1)
-        cy = cy_ref[pl.ds(ci * chunk, chunk), :]
-        cz = cz_ref[pl.ds(ci * chunk, chunk), :]
-        r2 = r2_ref[pl.ds(ci * chunk, chunk), :]
+    # oc form (sphere.rs:30-34): no large-term cancellation
+    ocx = cx - ox                                  # (CHUNK, BR)
+    ocy = cy - oy
+    ocz = cz - oz
+    h = dx * ocx + dy * ocy + dz * ocz
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    disc = h * h - a * c_q
+    ok = disc >= 0.0
+    sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    root_near = (h - sqrtd) * inv_a
+    root_far = (h + sqrtd) * inv_a
+    near_ok = ok & (root_near > t_min)
+    far_ok = ok & (root_far > t_min)
+    t = jnp.where(near_ok, root_near, jnp.where(far_ok, root_far, BIG))
 
-        # oc form (sphere.rs:30-34): no large-term cancellation
-        ocx = cx - ox                                  # (CHUNK, BR)
-        ocy = cy - oy
-        ocz = cz - oz
-        h = dx * ocx + dy * ocy + dz * ocz
-        c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = h * h - a * c_q
-        ok = disc >= 0.0
-        sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
-        root_near = (h - sqrtd) * inv_a
-        root_far = (h + sqrtd) * inv_a
-        near_ok = ok & (root_near > t_min)
-        far_ok = ok & (root_far > t_min)
-        t = jnp.where(near_ok, root_near, jnp.where(far_ok, root_far, BIG))
-
-        t_chunk = jnp.min(t, axis=0, keepdims=True)               # (1, BR)
-        i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
-        i_chunk = i_chunk + ci * chunk
-        better = t_chunk < t_best
-        return jnp.where(better, t_chunk, t_best), jnp.where(better, i_chunk, i_best)
-
-    br = ox.shape[1]
-    t0 = jnp.full((1, br), BIG, jnp.float32)
-    i0 = jnp.zeros((1, br), jnp.int32)
-    t_best, i_best = jax.lax.fori_loop(0, n_chunks, sweep, (t0, i0))
-    t_out[:] = t_best
-    idx_out[:] = i_best
+    t_chunk = jnp.min(t, axis=0, keepdims=True)               # (1, BR)
+    i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + ci * chunk
+    better = t_chunk < t_out[:]
+    t_out[:] = jnp.where(better, t_chunk, t_out[:])
+    idx_out[:] = jnp.where(better, i_chunk, idx_out[:])
 
 
 def _pack_scene(scene: Scene):
@@ -136,16 +134,17 @@ def _closest_hit_pallas_fwd_impl(
 
     rows = [row(ray_o[:, i]) for i in range(3)] + [row(ray_d[:, i]) for i in range(3)]
 
-    ray_spec = pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM)
-    scene_spec = pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    n_chunks = n // chunk
+    ray_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec((chunk, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
-        functools.partial(_intersect_kernel, n_pad=n, chunk=chunk, t_min=T_MIN),
-        grid=(rp // br,),
+        functools.partial(_intersect_kernel, chunk=chunk, t_min=T_MIN),
+        grid=(rp // br, n_chunks),
         in_specs=[ray_spec] * 6 + [scene_spec] * 4,
         out_specs=[
-            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, rp), jnp.float32),

@@ -153,19 +153,35 @@ def render_image_wavefront(
     batch: int = 32,
     pool_size: int = DEFAULT_POOL,
     use_pallas: bool = False,
+    intersect_fn=None,
     progress_cb=None,
 ) -> np.ndarray:
     """Full-image wavefront render; returns linear mean [H, W, 3] on host.
 
-    batch: samples per device program (one jit call renders batch spp)."""
+    batch: samples per device program (one jit call renders batch spp).
+    intersect_fn: custom closest-hit (e.g. the block-culled sweep); when
+    given it overrides use_pallas."""
     spp = spp if spp is not None else camera.samples_per_pixel
     key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((camera.num_pixels, 3), jnp.float32)
+
+    if intersect_fn is not None:
+        render = jax.jit(
+            functools.partial(
+                render_wavefront_sum, intersect_fn=intersect_fn
+            ),
+            static_argnames=("spp", "pool_size"),
+        )
+    else:
+        render = functools.partial(
+            _render_wavefront_jit, use_pallas=use_pallas
+        )
+
     done = 0
     while done < spp:
         n = min(batch, spp - done)
         k = jax.random.fold_in(key, done)
-        acc = acc + _render_wavefront_jit(scene, camera, k, n, pool_size, use_pallas)
+        acc = acc + render(scene, camera, k, spp=n, pool_size=pool_size)
         done += n
         if progress_cb is not None:
             progress_cb(done, np.asarray(acc) / done)
