@@ -110,7 +110,7 @@ def main():
     extras = {
         "baseline_note": "Rust ref publishes no numbers; est 5.6e4 rays/s single-core",
         # measured separately (see docs/DESIGN.md §2): wavefront+Pallas fwd
-        "fwd_rays_per_sec_recorded": 3042777,
+        "fwd_rays_per_sec_recorded": 5020000,  # fused bounce kernel, pool 65536
     }
     # The remote-compile tunnel has no persistent cache and each extra jit
     # costs minutes; only compile the forward-only benchmark when asked.

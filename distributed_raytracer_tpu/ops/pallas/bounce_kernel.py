@@ -1,0 +1,358 @@
+"""Fully fused bounce kernel: intersect + winner select + shade in one pass.
+
+The wavefront renderer's iteration splits into a Pallas intersect and a
+pure-JAX shading step; the seam costs six dynamic gathers of winner-sphere
+attributes, external threefry draws, and a dozen [B]-array HBM round
+trips.  This kernel fuses the whole of `ops/trace.bounce_step`
+(= ray_color_iteration, camera.rs:118-144) into one pallas_call:
+
+  - grid = (ray blocks, sphere chunks); during the chunk sweep the kernel
+    keeps not just the running (t, idx) but the WINNING SPHERE'S ATTRIBUTES
+    as (1, BR) lane rows, updated under the same `better` mask — no gather
+    ever happens; selection rides the sweep.
+  - on the last chunk it shades in-kernel: surface geometry, Lambertian/
+    metal/dielectric scatter with the on-core PRNG (Box-Muller gaussians
+    from pltpu.prng_random_bits), absorb/transparent handling, sky color
+    for misses — emitting the next ray state, per-bounce attenuation,
+    terminal color and status rows.
+
+RNG: seeded per (ray block, iteration) from a scalar input; draws are NOT
+bit-compatible with the threefry streams of the JAX tracers (different
+generator), but every (pixel, sample) still gets independent noise — a
+valid estimator of the same integral, verified statistically in tests.
+Forward-only: the gradient paths keep the unfused kernels + custom VJPs.
+
+Status codes (st_out): 0 = continue (scattered), 1 = finished (color
+valid: miss -> sky, absorb -> black), matching the termination rules of
+camera.rs:118-144.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from distributed_raytracer_tpu.core.vecmath import BIG, NEAR_ZERO_EPS, T_MIN
+from distributed_raytracer_tpu.models.scene import (
+    ABSORB,
+    DIELECTRIC,
+    LAMBERTIAN,
+    METAL,
+    TRANSPARENT,
+    Scene,
+)
+
+LANE = 128
+DEFAULT_BR = 512
+SKY_TOP = (0.5, 0.7, 1.0)
+
+
+class BounceOut(NamedTuple):
+    new_o: jnp.ndarray     # [R,3]
+    new_d: jnp.ndarray     # [R,3]
+    atten: jnp.ndarray     # [R,3] per-bounce attenuation (1 where inactive)
+    color: jnp.ndarray     # [R,3] terminal color (valid where finished==1)
+    finished: jnp.ndarray  # [R] int32: 1 terminal, 0 continue
+
+
+def _u01(shape):
+    """uniform (0,1) rows from the on-core PRNG."""
+    # prng_random_bits yields SIGNED int32 and Mosaic supports neither
+    # uint32->f32 casts nor well-defined right-shifts of negative values
+    # (found the hard way as an always-reflect dielectric): keep the low 23
+    # bits, which are non-negative in int32, and scale by 2^-23.
+    bits = pltpu.prng_random_bits(shape)
+    u = (bits & jnp.int32(0x007FFFFF)).astype(jnp.float32) * (1.0 / 8388608.0)
+    return jnp.clip(u, 1e-7, 1.0 - 1e-7)
+
+
+def _bounce_kernel(
+    seed_ref,                                            # [1,1] SMEM int32
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,      # [1,BR]
+    act_ref,                                              # [1,BR] int32
+    cx_ref, cy_ref, cz_ref, rr_ref, r2_ref,               # [CHUNK,1]
+    ar_ref, ag_ref, ab_ref, fz_ref, io_ref, mt_ref,       # [CHUNK,1]
+    t_ref, wcx, wcy, wcz, wrr, war, wag, wab, wfz, wio, wmt,  # [1,BR] scratch-like outs
+    no_x, no_y, no_z, nd_x, nd_y, nd_z,                   # [1,BR] next ray
+    at_r, at_g, at_b, co_r, co_g, co_b, fin,              # [1,BR]
+    *, chunk: int, n_chunks: int,
+):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        t_ref[:] = jnp.full_like(t_ref, BIG)
+        wmt[:] = jnp.full_like(wmt, float(ABSORB))
+        wcx[:] = jnp.zeros_like(wcx)
+        wcy[:] = jnp.zeros_like(wcy)
+        wcz[:] = jnp.zeros_like(wcz)
+        wrr[:] = jnp.ones_like(wrr)
+        war[:] = jnp.zeros_like(war)
+        wag[:] = jnp.zeros_like(wag)
+        wab[:] = jnp.zeros_like(wab)
+        wfz[:] = jnp.zeros_like(wfz)
+        wio[:] = jnp.ones_like(wio)
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+
+    # ---- sweep this chunk, carrying winner attributes ----
+    cx, cy, cz = cx_ref[:], cy_ref[:], cz_ref[:]
+    rr, r2 = rr_ref[:], r2_ref[:]
+    ocx = cx - ox
+    ocy = cy - oy
+    ocz = cz - oz
+    h = dx * ocx + dy * ocy + dz * ocz
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    disc = h * h - a * c_q
+    ok = disc >= 0.0
+    sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    rn = (h - sqrtd) * inv_a
+    rf = (h + sqrtd) * inv_a
+    t = jnp.where(
+        ok & (rn > T_MIN), rn, jnp.where(ok & (rf > T_MIN), rf, BIG)
+    )
+    t_c = jnp.min(t, axis=0, keepdims=True)
+    sel = (t == t_c) & (t_c < BIG * 0.5)  # (CHUNK, BR) one-hot-ish winner mask
+
+    def pick(col_ref, current):
+        # winner attribute for this chunk via masked max-reduction (values
+        # are gated by sel; ties pick either copy — identical spheres)
+        v = jnp.max(jnp.where(sel, col_ref[:], -3.4e38), axis=0, keepdims=True)
+        return jnp.where(t_c < t_ref[:], v, current)
+
+    better = t_c < t_ref[:]
+    wcx[:] = pick(cx_ref, wcx[:])
+    wcy[:] = pick(cy_ref, wcy[:])
+    wcz[:] = pick(cz_ref, wcz[:])
+    wrr[:] = pick(rr_ref, wrr[:])
+    war[:] = pick(ar_ref, war[:])
+    wag[:] = pick(ag_ref, wag[:])
+    wab[:] = pick(ab_ref, wab[:])
+    wfz[:] = pick(fz_ref, wfz[:])
+    wio[:] = pick(io_ref, wio[:])
+    wmt[:] = pick(mt_ref, wmt[:])
+    t_ref[:] = jnp.where(better, t_c, t_ref[:])
+
+    # ---- after the last chunk: shade ----
+    @pl.when(ci == n_chunks - 1)
+    def _shade():
+        br = ox.shape[1]
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        hit = (t_ref[:] < BIG * 0.5) & (act_ref[:] > 0)
+        th = jnp.where(hit, t_ref[:], 1.0)
+
+        px = ox + th * dx
+        py = oy + th * dy
+        pz = oz + th * dz
+        saferr = jnp.where(wrr[:] > 0.0, wrr[:], 1.0)
+        nx = (px - wcx[:]) / saferr
+        ny = (py - wcy[:]) / saferr
+        nz = (pz - wcz[:]) / saferr
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        front = d_dot_n < 0.0
+        fs = jnp.where(front, 1.0, -1.0)
+        nx, ny, nz = nx * fs, ny * fs, nz * fs
+
+        # gaussians via Box-Muller -> random unit vector
+        u1 = _u01((1, br))
+        u2 = _u01((1, br))
+        u3 = _u01((1, br))
+        u4 = _u01((1, br))
+        u_choice = _u01((1, br))
+        rad1 = jnp.sqrt(-2.0 * jnp.log(u1))
+        g1 = rad1 * jnp.cos(6.2831853 * u2)
+        g2 = rad1 * jnp.sin(6.2831853 * u2)
+        g3 = jnp.sqrt(-2.0 * jnp.log(u3)) * jnp.cos(6.2831853 * u4)
+        gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3 + 1e-20)
+        rux, ruy, ruz = g1 * gn, g2 * gn, g3 * gn
+
+        # Lambertian (material.rs:46-56)
+        lx, ly, lz = nx + rux, ny + ruy, nz + ruz
+        near0 = (
+            (jnp.abs(lx) < NEAR_ZERO_EPS)
+            & (jnp.abs(ly) < NEAR_ZERO_EPS)
+            & (jnp.abs(lz) < NEAR_ZERO_EPS)
+        )
+        lx = jnp.where(near0, nx, lx)
+        ly = jnp.where(near0, ny, ly)
+        lz = jnp.where(near0, nz, lz)
+
+        # Metal (material.rs:73-80)
+        rx = dx - 2.0 * d_dot_n * fs * nx  # reflect about oriented normal
+        ry = dy - 2.0 * d_dot_n * fs * ny
+        rz = dz - 2.0 * d_dot_n * fs * nz
+        rinv = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz + 1e-20)
+        mx = rx * rinv + wfz[:] * rux
+        my = ry * rinv + wfz[:] * ruy
+        mz = rz * rinv + wfz[:] * ruz
+        metal_ok = (mx * nx + my * ny + mz * nz) > 0.0
+
+        # Dielectric (material.rs:103-122)
+        ior = jnp.where(wio[:] > 0.0, wio[:], 1.0)
+        ri = jnp.where(front, 1.0 / ior, ior)
+        dinv = jax.lax.rsqrt(a)
+        ux, uy, uz = dx * dinv, dy * dinv, dz * dinv
+        cos_t = jnp.minimum(-(ux * nx + uy * ny + uz * nz), 1.0)
+        sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+        cannot = ri * ri * sin2 > 1.0
+        r0 = (1.0 - ri) / (1.0 + ri)
+        r0 = r0 * r0
+        one_m_cos = 1.0 - cos_t
+        schlick = r0 + (1.0 - r0) * one_m_cos * one_m_cos * one_m_cos * one_m_cos * one_m_cos
+        choose_refl = cannot | (schlick > u_choice)
+        # refract
+        perp_x = ri * (ux + cos_t * nx)
+        perp_y = ri * (uy + cos_t * ny)
+        perp_z = ri * (uz + cos_t * nz)
+        k = jnp.abs(1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z))
+        para = -jnp.sqrt(k)
+        fx = perp_x + para * nx
+        fy = perp_y + para * ny
+        fz2 = perp_z + para * nz
+        # reflect of unit dir
+        u_dot_n = ux * nx + uy * ny + uz * nz
+        gx = ux - 2.0 * u_dot_n * nx
+        gy = uy - 2.0 * u_dot_n * ny
+        gz = uz - 2.0 * u_dot_n * nz
+        dielx = jnp.where(choose_refl, gx, fx)
+        diely = jnp.where(choose_refl, gy, fy)
+        dielz = jnp.where(choose_refl, gz, fz2)
+
+        mt = wmt[:]  # material code as f32 (exact small ints)
+        is_lam = mt == LAMBERTIAN
+        is_met = mt == METAL
+        is_die = mt == DIELECTRIC
+        is_tra = mt == TRANSPARENT
+        is_abs = mt == ABSORB
+
+        ndx = jnp.where(is_lam, lx, jnp.where(is_met, mx, jnp.where(is_die, dielx, dx)))
+        ndy = jnp.where(is_lam, ly, jnp.where(is_met, my, jnp.where(is_die, diely, dy)))
+        ndz = jnp.where(is_lam, lz, jnp.where(is_met, mz, jnp.where(is_die, dielz, dz)))
+        white = jnp.ones_like(war[:])
+        attr = jnp.where(is_die | is_tra, white, war[:])
+        attg = jnp.where(is_die | is_tra, white, wag[:])
+        attb = jnp.where(is_die | is_tra, white, wab[:])
+        # pure i1 logic: where() with bool literal vectors trips Mosaic's
+        # integer-truncation lowering
+        scattered = (~is_abs) & (metal_ok | ~is_met)
+
+        # transparent keeps the original origin (material.rs:28)
+        nox = jnp.where(is_tra, ox, px)
+        noy = jnp.where(is_tra, oy, py)
+        noz = jnp.where(is_tra, oz, pz)
+
+        # sky for misses (camera.rs:141-143)
+        uy_n = dy * dinv
+        sky_a = 0.5 * (uy_n + 1.0)
+        sky_r = (1.0 - sky_a) + sky_a * SKY_TOP[0]
+        sky_g = (1.0 - sky_a) + sky_a * SKY_TOP[1]
+        sky_b = (1.0 - sky_a) + sky_a * SKY_TOP[2]
+
+        act = act_ref[:] > 0
+        keep = act & hit & scattered
+        miss = act & ~hit
+        # absorbed -> black (zeros)
+        co_r[:] = jnp.where(miss, sky_r, 0.0)
+        co_g[:] = jnp.where(miss, sky_g, 0.0)
+        co_b[:] = jnp.where(miss, sky_b, 0.0)
+        no_x[:] = jnp.where(keep, nox, ox)
+        no_y[:] = jnp.where(keep, noy, oy)
+        no_z[:] = jnp.where(keep, noz, oz)
+        nd_x[:] = jnp.where(keep, ndx, dx)
+        nd_y[:] = jnp.where(keep, ndy, dy)
+        nd_z[:] = jnp.where(keep, ndz, dz)
+        at_r[:] = jnp.where(keep, attr, 1.0)
+        at_g[:] = jnp.where(keep, attg, 1.0)
+        at_b[:] = jnp.where(keep, attb, 1.0)
+        fin[:] = jnp.where(act & ~keep, 1, 0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rays", "chunk"))
+def fused_bounce(
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    active: jnp.ndarray,
+    scene: Scene,
+    seed: jnp.ndarray,
+    block_rays: int = DEFAULT_BR,
+    chunk: int = LANE,
+) -> BounceOut:
+    """One fused bounce for a wavefront.  active: [R] bool.  seed: i32
+    scalar (vary per pool iteration)."""
+    r = ray_o.shape[0]
+    n0 = scene.num_spheres
+    m = -(-n0 // chunk) * chunk
+    pad_s = m - n0
+
+    def scol(x, fill=0.0):
+        return jnp.pad(x, (0, pad_s), constant_values=fill).reshape(m, 1)
+
+    r2 = jnp.where(scene.radii > 0.0, scene.radii * scene.radii, -1.0)
+    scene_cols = [
+        scol(scene.centers[:, 0]),
+        scol(scene.centers[:, 1]),
+        scol(scene.centers[:, 2]),
+        scol(scene.radii),
+        scol(r2, fill=-1.0),
+        scol(scene.albedo[:, 0]),
+        scol(scene.albedo[:, 1]),
+        scol(scene.albedo[:, 2]),
+        scol(scene.fuzz),
+        scol(scene.ior, fill=1.0),
+        scol(scene.mat_type.astype(jnp.float32), fill=float(ABSORB)),
+    ]
+
+    br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
+    pad_r = (-r) % br
+    rp = r + pad_r
+
+    def row(x):
+        return jnp.pad(x, (0, pad_r)).reshape(1, rp)
+
+    rows = (
+        [row(ray_o[:, i]) for i in range(3)]
+        + [row(ray_d[:, i]) for i in range(3)]
+        + [row(active.astype(jnp.int32))]
+    )
+
+    n_chunks = m // chunk
+    ray_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec((chunk, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    out_shapes = (
+        [jax.ShapeDtypeStruct((1, rp), f32)] * 11      # t + 9 winner rows + mat(f32)
+        + [jax.ShapeDtypeStruct((1, rp), f32)] * 12     # next o/d, atten, color
+        + [jax.ShapeDtypeStruct((1, rp), i32)]          # finished
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_bounce_kernel, chunk=chunk, n_chunks=n_chunks),
+        grid=(rp // br, n_chunks),
+        in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)]
+        + [ray_spec] * 7
+        + [scene_spec] * 11,
+        out_specs=[out_spec] * 24,
+        out_shape=out_shapes,
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), *rows, *scene_cols)
+
+    (t_row, *_winner, nox, noy, noz, ndx, ndy, ndz,
+     atr, atg, atb, cor, cog, cob, finished) = outs
+
+    stack3 = lambda x, y, z: jnp.stack([x[0, :r], y[0, :r], z[0, :r]], axis=-1)
+    return BounceOut(
+        new_o=stack3(nox, noy, noz),
+        new_d=stack3(ndx, ndy, ndz),
+        atten=stack3(atr, atg, atb),
+        color=stack3(cor, cog, cob),
+        finished=finished[0, :r],
+    )

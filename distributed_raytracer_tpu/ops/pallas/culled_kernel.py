@@ -18,9 +18,13 @@ sphere axis HIERARCHICAL:
      the broken AABB slab test (bounding_box.rs:53-56) replaced by an
      exact bounding-sphere test.
 
-Wins scale with scene size: at RTiOW's ~500 spheres the dense sweep is
-already near-optimal; at thousands of spheres the culled sweep skips most
-chunks for coherent ray blocks (see bench_culled in tests).
+Wins scale with scene size and ray-block coherence: at RTiOW's ~500
+spheres the dense sweep is already near-optimal.  Measured on v5e (8320
+spheres, 512-ray blocks of primary rays): bit-correct but ~1.0x — the
+ANY-over-block bound test almost always passes at this block size.  Real
+wins need per-ray-block front-to-back chunk ordering (scalar-prefetch
+index maps) and tiled, frustum-compact ray blocks; see
+scripts/tpu_validation.py and docs/DESIGN.md §3.
 """
 
 from __future__ import annotations

@@ -130,6 +130,95 @@ def render_wavefront_sum(
     return jnp.sum(out.reshape(spp, n_pix, 3), axis=0)
 
 
+def render_wavefront_sum_fused(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    spp: int,
+    pool_size: int = DEFAULT_POOL,
+    block_rays: int = 512,
+) -> jnp.ndarray:
+    """Wavefront render with the FULLY FUSED bounce kernel
+    (ops/pallas/bounce_kernel.py): one pallas_call per pool iteration does
+    intersect + winner-attribute selection + shading + RNG on-core.  The
+    host-side loop only handles refill/drain bookkeeping.
+
+    Noise comes from the kernel's on-core PRNG (not threefry), so images
+    differ from render_wavefront_sum at the noise level while estimating
+    the same integral.  TPU only (compiled Mosaic; use interpret mode on
+    CPU for tests)."""
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
+
+    n_pix = camera.num_pixels
+    w = camera.image_width
+    total = n_pix * spp
+    b = min(pool_size, total)
+    max_depth = camera.max_depth
+    seed_base = jnp.asarray(
+        jax.random.randint(key, (), 0, 2**31 - 1), jnp.int32
+    )
+
+    def body(carry):
+        o, d, atten, lane_ray, depth, live, emitted, out, it = carry
+        k = jax.random.fold_in(key, it)
+
+        # refill
+        free = ~live
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        remaining = total - emitted
+        take = free & (rank < remaining)
+        ray_idx = emitted + jnp.where(take, rank, 0)
+        pix = ray_idx % n_pix
+        new_o, new_d = generate_rays(camera, k, pix % w, pix // w)
+        tk = take[:, None]
+        o = jnp.where(tk, new_o, o)
+        d = jnp.where(tk, new_d, d)
+        atten = jnp.where(tk, 1.0, atten)
+        lane_ray = jnp.where(take, ray_idx, lane_ray)
+        depth = jnp.where(take, 0, depth)
+        live = live | take
+        emitted = emitted + jnp.sum(take.astype(jnp.int32))
+
+        # fused bounce
+        res = fused_bounce(
+            o, d, live, scene, seed_base + it * jnp.int32(65537),
+            block_rays=block_rays,
+        )
+        depth = depth + live.astype(jnp.int32)
+        fin = (res.finished == 1) & live
+        keep = live & ~fin
+        exhausted = keep & (depth >= max_depth)
+
+        # drain: final color = carried attenuation * bounce terminal color
+        slot = jnp.where(fin, lane_ray, total)
+        out = out.at[slot].set(
+            atten * res.color, mode="drop", unique_indices=True
+        )
+        o = jnp.where(keep[:, None], res.new_o, o)
+        d = jnp.where(keep[:, None], res.new_d, d)
+        atten = jnp.where(keep[:, None], atten * res.atten, atten)
+        live = keep & ~exhausted
+        return o, d, atten, lane_ray, depth, live, emitted, out, it + 1
+
+    def cond(carry):
+        live, emitted = carry[5], carry[6]
+        return (emitted < total) | jnp.any(live)
+
+    carry0 = (
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.ones((b, 3), jnp.float32),  # nonzero dir: avoid 0-length rays
+        jnp.ones((b, 3), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((total, 3), jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    *_, out, _ = jax.lax.while_loop(cond, body, carry0)
+    return jnp.sum(out.reshape(spp, n_pix, 3), axis=0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("spp", "pool_size", "use_pallas")
 )
