@@ -83,6 +83,9 @@ def main():
         depth,
         pool_divisor=8,
         intersect_fn=intersect if intersect else closest_hit,
+        # fused-bounce recording primal on TPU (one pallas_call per depth
+        # step: intersect + winner select + shade + RNG on-core)
+        primal="fused" if on_tpu else "scan",
     )
 
     @jax.jit

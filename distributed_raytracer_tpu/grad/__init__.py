@@ -5,3 +5,7 @@ from distributed_raytracer_tpu.grad.diff_render import (  # noqa: F401
     scene_grads,
     InverseRenderer,
 )
+from distributed_raytracer_tpu.grad.pathgrad import (  # noqa: F401
+    make_image_grad_fn,
+    make_pathgrad_tracer,
+)

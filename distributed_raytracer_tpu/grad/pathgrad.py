@@ -63,6 +63,8 @@ class _Step(NamedTuple):
     idx: jnp.ndarray     # [R] winning sphere (junk when !hit)
     hit: jnp.ndarray     # [R] bool
     active: jnp.ndarray  # [R] bool — lane was alive entering this bounce
+    ruv: jnp.ndarray     # [R,3] recorded unit-vector draw for this bounce
+    u: jnp.ndarray       # [R] recorded uniform draw (dielectric choice)
 
 
 def _ray_keys(key: jax.Array, n: int) -> jnp.ndarray:
@@ -124,7 +126,8 @@ def _forward_scan(scene, ray_o, ray_d, key, max_depth, intersect_fn):
         params = _gather_params(scene, res.idx, res.hit)
         keys_rb = jax.vmap(jax.random.fold_in)(keys_r, jnp.full((r,), i, jnp.uint32))
         ruv, u = _draws(keys_rb)
-        rec = _Step(o=o, d=d, atten=atten, idx=res.idx, hit=res.hit, active=active)
+        rec = _Step(o=o, d=d, atten=atten, idx=res.idx, hit=res.hit,
+                    active=active, ruv=ruv, u=u)
         o2, d2, atten2, color2, keep = _local_bounce(
             o, d, atten, color, params, ruv, u, res.hit, active
         )
@@ -137,6 +140,8 @@ def _forward_scan(scene, ray_o, ray_d, key, max_depth, intersect_fn):
             idx=jnp.zeros((r,), jnp.int32),
             hit=jnp.zeros((r,), bool),
             active=active,  # all-False here
+            ruv=jnp.zeros((r, 3), jnp.float32),
+            u=jnp.zeros((r,), jnp.float32),
         )
         return carry, rec
 
@@ -179,6 +184,8 @@ def _forward_wavefront(scene, ray_o, ray_d, key, max_depth, pool, intersect_fn):
         idx=flat_zeros((), jnp.int32),
         hit=flat_zeros((), bool),
         active=flat_zeros((), bool),
+        ruv=flat_zeros((3,), jnp.float32),
+        u=flat_zeros((), jnp.float32),
     )
 
     def body(carry):
@@ -216,6 +223,8 @@ def _forward_wavefront(scene, ray_o, ray_d, key, max_depth, pool, intersect_fn):
             idx=put_v(st["idx"], res.idx),
             hit=put_v(st["hit"], hit),
             active=put_v(st["active"], live),
+            ruv=put_v(st["ruv"], ruv),
+            u=put_v(st["u"], u),
         )
 
         zero_c = jnp.zeros((b, 3), jnp.float32)
@@ -257,8 +266,48 @@ def _forward_wavefront(scene, ray_o, ray_d, key, max_depth, pool, intersect_fn):
         idx=unflat(st["idx"]),
         hit=unflat(st["hit"]),
         active=unflat(st["active"]),
+        ruv=unflat(st["ruv"]),
+        u=unflat(st["u"]),
     )
     return color_out[:r], steps
+
+
+def _forward_scan_fused(scene, ray_o, ray_d, key, max_depth):
+    """Recording forward built on the FULLY FUSED bounce kernel
+    (ops/pallas/bounce_kernel.py): one pallas_call per depth step does
+    intersect + winner selection + shading + RNG on-core, and the kernel
+    emits the draws it used so the backward pool replays them exactly.
+    TPU path (interpret mode on CPU yields constant draws — still a valid,
+    FD-checkable estimator, just a poor one)."""
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
+
+    r = ray_o.shape[0]
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+
+    def step(carry, i):
+        o, d, atten, color, active = carry
+        res = fused_bounce(o, d, active, scene, seed + i * jnp.int32(65537))
+        rec = _Step(
+            o=o, d=d, atten=atten, idx=res.idx, hit=res.hit & active,
+            active=active, ruv=res.ruv, u=res.u,
+        )
+        fin = (res.finished == 1) & active
+        color2 = jnp.where(fin[:, None], atten * res.color, color)
+        return (
+            res.new_o, res.new_d, atten * res.atten, color2, active & ~fin
+        ), rec
+
+    init = (
+        ray_o,
+        ray_d,
+        jnp.ones((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.ones((r,), bool),
+    )
+    (_, _, _, color, _), steps = jax.lax.scan(
+        step, init, jnp.arange(max_depth, dtype=jnp.int32)
+    )
+    return color, steps
 
 
 def make_pathgrad_tracer(
@@ -289,6 +338,16 @@ def make_pathgrad_tracer(
 
     @jax.custom_vjp
     def traced_k(scene, ray_o, ray_d, k):
+        # must match traced_fwd's primal exactly (same draws), or the value
+        # would depend on whether a gradient is being taken
+        if primal == "fused":
+            color, _ = _forward_scan_fused(scene, ray_o, ray_d, k, max_depth)
+            return color
+        if primal == "wavefront":
+            color, _ = _forward_wavefront(
+                scene, ray_o, ray_d, k, max_depth, primal_pool, intersect_fn
+            )
+            return color
         return fwd_only(scene, ray_o, ray_d, k)
 
     def traced_fwd(scene, ray_o, ray_d, k):
@@ -296,6 +355,8 @@ def make_pathgrad_tracer(
             color, steps = _forward_wavefront(
                 scene, ray_o, ray_d, k, max_depth, primal_pool, intersect_fn
             )
+        elif primal == "fused":
+            color, steps = _forward_scan_fused(scene, ray_o, ray_d, k, max_depth)
         else:
             color, steps = _forward_scan(
                 scene, ray_o, ray_d, k, max_depth, intersect_fn
@@ -335,6 +396,7 @@ def _backward_pool(scene, steps: _Step, g_color, key, max_depth, pool_divisor):
     flat = lambda x: x.reshape((max_depth * r,) + x.shape[2:])
     st_o, st_d, st_at = flat(steps.o), flat(steps.d), flat(steps.atten)
     st_idx, st_hit, st_act = flat(steps.idx), flat(steps.hit), flat(steps.active)
+    st_ruv, st_u = flat(steps.ruv), flat(steps.u)
 
     def local_f(o, d, atten, color, cw, rw, aw, fw, iw, mat, ruv, u, hit, active):
         params = dict(centers=cw, radii=rw, albedo=aw, fuzz=fw, ior=iw, mat=mat)
@@ -371,7 +433,7 @@ def _backward_pool(scene, steps: _Step, g_color, key, max_depth, pool_divisor):
         hit_i = st_hit[fi] & live
         act_i = st_act[fi] & live
         params = _gather_params(scene, idx_i, hit_i)
-        ruv, u = _draws_at(key, lane_ray, jnp.clip(ptr, 0, max_depth - 1))
+        ruv, u = st_ruv[fi], st_u[fi]  # recorded draws: exact replay, no RNG
 
         # --- vjp through the local bounce ---
         color_i = jnp.zeros_like(cot_c)  # color entering any recorded bounce is 0

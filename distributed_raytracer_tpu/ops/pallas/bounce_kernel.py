@@ -58,6 +58,10 @@ class BounceOut(NamedTuple):
     atten: jnp.ndarray     # [R,3] per-bounce attenuation (1 where inactive)
     color: jnp.ndarray     # [R,3] terminal color (valid where finished==1)
     finished: jnp.ndarray  # [R] int32: 1 terminal, 0 continue
+    idx: jnp.ndarray       # [R] i32 winning sphere index (junk when no hit)
+    hit: jnp.ndarray       # [R] bool
+    ruv: jnp.ndarray       # [R,3] the unit-vector draw used (for grad replay)
+    u: jnp.ndarray         # [R] the uniform draw used (dielectric choice)
 
 
 def _u01(shape):
@@ -80,6 +84,7 @@ def _bounce_kernel(
     t_ref, wcx, wcy, wcz, wrr, war, wag, wab, wfz, wio, wmt,  # [1,BR] scratch-like outs
     no_x, no_y, no_z, nd_x, nd_y, nd_z,                   # [1,BR] next ray
     at_r, at_g, at_b, co_r, co_g, co_b, fin,              # [1,BR]
+    i_out, ru_x, ru_y, ru_z, u_out,                       # [1,BR] idx + draws
     *, chunk: int, n_chunks: int,
 ):
     ci = pl.program_id(1)
@@ -88,6 +93,7 @@ def _bounce_kernel(
     def _init():
         t_ref[:] = jnp.full_like(t_ref, BIG)
         wmt[:] = jnp.full_like(wmt, float(ABSORB))
+        i_out[:] = jnp.zeros_like(i_out)
         wcx[:] = jnp.zeros_like(wcx)
         wcy[:] = jnp.zeros_like(wcy)
         wcz[:] = jnp.zeros_like(wcz)
@@ -139,6 +145,8 @@ def _bounce_kernel(
     wfz[:] = pick(fz_ref, wfz[:])
     wio[:] = pick(io_ref, wio[:])
     wmt[:] = pick(mt_ref, wmt[:])
+    i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + ci * chunk
+    i_out[:] = jnp.where(better, i_chunk, i_out[:])
     t_ref[:] = jnp.where(better, t_c, t_ref[:])
 
     # ---- after the last chunk: shade ----
@@ -273,6 +281,10 @@ def _bounce_kernel(
         at_g[:] = jnp.where(keep, attg, 1.0)
         at_b[:] = jnp.where(keep, attb, 1.0)
         fin[:] = jnp.where(act & ~keep, 1, 0).astype(jnp.int32)
+        ru_x[:] = rux
+        ru_y[:] = ruy
+        ru_z[:] = ruz
+        u_out[:] = u_choice
 
 
 @functools.partial(jax.jit, static_argnames=("block_rays", "chunk"))
@@ -333,6 +345,8 @@ def fused_bounce(
         [jax.ShapeDtypeStruct((1, rp), f32)] * 11      # t + 9 winner rows + mat(f32)
         + [jax.ShapeDtypeStruct((1, rp), f32)] * 12     # next o/d, atten, color
         + [jax.ShapeDtypeStruct((1, rp), i32)]          # finished
+        + [jax.ShapeDtypeStruct((1, rp), i32)]          # winner idx
+        + [jax.ShapeDtypeStruct((1, rp), f32)] * 4      # draws (ruv, u)
     )
 
     outs = pl.pallas_call(
@@ -341,12 +355,13 @@ def fused_bounce(
         in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)]
         + [ray_spec] * 7
         + [scene_spec] * 11,
-        out_specs=[out_spec] * 24,
+        out_specs=[out_spec] * 29,
         out_shape=out_shapes,
     )(jnp.asarray(seed, jnp.int32).reshape(1, 1), *rows, *scene_cols)
 
     (t_row, *_winner, nox, noy, noz, ndx, ndy, ndz,
-     atr, atg, atb, cor, cog, cob, finished) = outs
+     atr, atg, atb, cor, cog, cob, finished,
+     idx_row, rux, ruy, ruz, u_row) = outs
 
     stack3 = lambda x, y, z: jnp.stack([x[0, :r], y[0, :r], z[0, :r]], axis=-1)
     return BounceOut(
@@ -355,4 +370,8 @@ def fused_bounce(
         atten=stack3(atr, atg, atb),
         color=stack3(cor, cog, cob),
         finished=finished[0, :r],
+        idx=idx_row[0, :r],
+        hit=t_row[0, :r] < BIG * 0.5,
+        ruv=stack3(rux, ruy, ruz),
+        u=u_row[0, :r],
     )

@@ -103,6 +103,34 @@ def test_wavefront_primal_bit_identical_and_grads_match():
         )
 
 
+def test_fused_primal_fd_albedo():
+    # fused-kernel primal (interpret mode: constant PRNG draws — still a
+    # fixed-noise estimator, so FD against the same function is valid)
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .build()
+    )
+    cam = make_camera(aspect_ratio=1.0, image_width=12, max_depth=4)
+    ids = jnp.arange(cam.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, jax.random.PRNGKey(7), ids % 12, ids // 12)
+    f = make_pathgrad_tracer(jax.random.PRNGKey(2), 4, primal="fused")
+
+    def loss(v):
+        s = scene.replace(albedo=scene.albedo.at[1, 0].set(v))
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(f(s, o, d) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda v: loss(v))(jnp.float32(0.7))
+    eps = 1e-2
+    fd = (float(loss(0.7 + eps)) - float(loss(0.7 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=0.08, atol=1e-5)
+
+
 def test_image_grad_fn_albedo_fd():
     from distributed_raytracer_tpu.grad.pathgrad import make_image_grad_fn
 
