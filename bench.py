@@ -47,7 +47,6 @@ def main():
     from distributed_raytracer_tpu.models.presets import final_scene_camera, rtiow_final_scene
     from distributed_raytracer_tpu.ops.camera import generate_rays
     from distributed_raytracer_tpu.ops.pallas.intersect_kernel import closest_hit_pallas
-    from distributed_raytracer_tpu.ops.trace import trace_rays
     from distributed_raytracer_tpu.render.wavefront import render_wavefront_sum
 
     scene = rtiow_final_scene(seed=0, pad_to=512)

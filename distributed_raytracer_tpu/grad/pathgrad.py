@@ -39,14 +39,12 @@ Correctness is pinned by tests: jax.grad THROUGH the recording forward
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from distributed_raytracer_tpu.core import rng as drng
-from distributed_raytracer_tpu.core import vecmath as vm
 from distributed_raytracer_tpu.models.scene import Scene
 from distributed_raytracer_tpu.ops import materials
 from distributed_raytracer_tpu.ops.intersect import closest_hit

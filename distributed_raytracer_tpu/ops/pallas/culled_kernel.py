@@ -250,10 +250,7 @@ def make_culled_intersect(culled: CulledScene, block_rays: int = DEFAULT_BR):
     The trace must be run with culled.scene (the reordered scene) so that
     material gathers see the same sphere order.  Differentiation uses the
     same winner-only custom VJP as the dense kernel."""
-    from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
-        _bwd as _dense_bwd,
-        _winner_t,  # noqa: F401 (re-exported path for clarity)
-    )
+    from distributed_raytracer_tpu.ops.pallas.intersect_kernel import _bwd as _dense_bwd
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def intersect(ray_o, ray_d, scene):

@@ -21,12 +21,10 @@ render resumes from the progressive checkpoint (render/progressive.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 

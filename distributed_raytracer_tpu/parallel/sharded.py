@@ -25,9 +25,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from distributed_raytracer_tpu.grad.diff_render import image_loss
 from distributed_raytracer_tpu.models.scene import Scene
 from distributed_raytracer_tpu.ops.camera import Camera, generate_rays
 from distributed_raytracer_tpu.ops.trace import trace_rays, trace_rays_fast
