@@ -88,6 +88,30 @@ def test_sharded_grads_match_replicated():
         assert np.all(np.isfinite(np.asarray(g))), k
     assert np.any(np.asarray(grads["albedo"]) != 0)
 
+    # the sharded program is the SAME function with the same keys — its
+    # loss and psum'd grads must match a single-device evaluation closely
+    # (fp reduction order differs across shards)
+    from distributed_raytracer_tpu.parallel.sharded import _padded_pixel_ids, _render_ids
+
+    ids = _padded_pixel_ids(cam, mesh.shape["rays"])
+    m = ids.shape[0]
+    weight = jnp.asarray(np.arange(m) < cam.num_pixels, jnp.float32)
+    tgt = jnp.zeros((m, 3), jnp.float32)
+
+    def loss_local(params):
+        sc = scene.with_diff_params(params)
+        total = _render_ids(sc, cam, key, s, ids, differentiable=True)
+        img = total / s.shape[0]
+        se = jnp.sum((img - tgt) ** 2, axis=-1) * weight
+        return jnp.sum(se) / (3.0 * cam.num_pixels)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_local)(scene.diff_params())
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for k in grads:
+        a, b = np.asarray(grads[k]), np.asarray(grads_ref[k])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4, err_msg=k)
+
 
 # ---------------- scene sharding (object-server parallelism) ----------------
 
