@@ -81,10 +81,13 @@ def _bounce_kernel(
     act_ref,                                              # [1,BR] int32
     cx_ref, cy_ref, cz_ref, rr_ref, r2_ref,               # [CHUNK,1]
     ar_ref, ag_ref, ab_ref, fz_ref, io_ref, mt_ref,       # [CHUNK,1]
-    t_ref, wcx, wcy, wcz, wrr, war, wag, wab, wfz, wio, wmt,  # [1,BR] scratch-like outs
+    t_ref,                                                # [1,BR] out (hit test)
     no_x, no_y, no_z, nd_x, nd_y, nd_z,                   # [1,BR] next ray
     at_r, at_g, at_b, co_r, co_g, co_b, fin,              # [1,BR]
     i_out, ru_x, ru_y, ru_z, u_out,                       # [1,BR] idx + draws
+    wcx, wcy, wcz, wrr, war, wag, wab, wfz, wio, wmt,     # [1,BR] VMEM scratch:
+    # winner-attribute carry (persists across the sequential TPU grid;
+    # re-initialized at chunk 0 of every ray block)
     *, chunk: int, n_chunks: int,
 ):
     ci = pl.program_id(1)
@@ -342,7 +345,7 @@ def fused_bounce(
     f32 = jnp.float32
     i32 = jnp.int32
     out_shapes = (
-        [jax.ShapeDtypeStruct((1, rp), f32)] * 11      # t + 9 winner rows + mat(f32)
+        [jax.ShapeDtypeStruct((1, rp), f32)]            # t
         + [jax.ShapeDtypeStruct((1, rp), f32)] * 12     # next o/d, atten, color
         + [jax.ShapeDtypeStruct((1, rp), i32)]          # finished
         + [jax.ShapeDtypeStruct((1, rp), i32)]          # winner idx
@@ -355,11 +358,12 @@ def fused_bounce(
         in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)]
         + [ray_spec] * 7
         + [scene_spec] * 11,
-        out_specs=[out_spec] * 29,
+        out_specs=[out_spec] * 19,
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((1, br), jnp.float32)] * 10,
     )(jnp.asarray(seed, jnp.int32).reshape(1, 1), *rows, *scene_cols)
 
-    (t_row, *_winner, nox, noy, noz, ndx, ndy, ndz,
+    (t_row, nox, noy, noz, ndx, ndy, ndz,
      atr, atg, atb, cor, cog, cob, finished,
      idx_row, rux, ruy, ruz, u_row) = outs
 
