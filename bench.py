@@ -47,7 +47,10 @@ def main():
     from distributed_raytracer_tpu.models.presets import final_scene_camera, rtiow_final_scene
     from distributed_raytracer_tpu.ops.camera import generate_rays
     from distributed_raytracer_tpu.ops.pallas.intersect_kernel import closest_hit_pallas
-    from distributed_raytracer_tpu.render.wavefront import render_wavefront_sum
+    from distributed_raytracer_tpu.render.wavefront import (
+        render_wavefront_sum,
+        render_wavefront_sum_fused,
+    )
 
     scene = rtiow_final_scene(seed=0, pad_to=512)
     camera = final_scene_camera(image_width=1200, spp=500)
@@ -67,10 +70,12 @@ def main():
 
     @jax.jit
     def fwd(scene, key):
-        kwargs = {"intersect_fn": intersect} if intersect else {}
-        return render_wavefront_sum(
-            scene, camera, key, spp_bench, pool_size=65536, **kwargs
-        )
+        if on_tpu:
+            # production fast path: fully fused bounce kernel + wavefront pool
+            return render_wavefront_sum_fused(
+                scene, camera, key, spp_bench, pool_size=65536
+            )
+        return render_wavefront_sum(scene, camera, key, spp_bench, pool_size=65536)
 
     # fwd+bwd: the path-replay tracer — recording forward scan + wavefront
     # backward pool (O(total path length) instead of O(R * max_depth))
@@ -114,12 +119,12 @@ def main():
 
     extras = {
         "baseline_note": "Rust ref publishes no numbers; est 5.6e4 rays/s single-core",
-        # measured separately (see docs/DESIGN.md §2): wavefront+Pallas fwd
-        "fwd_rays_per_sec_recorded": 5020000,  # fused bounce kernel, pool 65536
     }
-    # The remote-compile tunnel has no persistent cache and each extra jit
-    # costs minutes; only compile the forward-only benchmark when asked.
-    if os.environ.get("DRAY_BENCH_FWD"):
+    # Forward is measured EVERY run (no recorded constants in the official
+    # JSON).  Kept after the headline so a tunnel hiccup mid-compile still
+    # leaves a usable fwd+bwd number; set DRAY_BENCH_SKIP_FWD=1 to skip when
+    # probing the headline only.
+    if not os.environ.get("DRAY_BENCH_SKIP_FWD"):
         try:
             t_fwd = timed(fwd, scene, key)
             fwd_rps = fwd_total / t_fwd

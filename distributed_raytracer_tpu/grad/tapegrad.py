@@ -1,0 +1,372 @@
+"""Reverse-tape wavefront gradients: fwd+bwd at wavefront efficiency.
+
+Round-1's path-replay backward (grad/pathgrad.py) kept a lane pool fed by
+a longest-path-first queue and, per iteration, gathered 14 recorded arrays
+at random (bounce, ray) indices from [depth*R]-row stacks — the gathers
+and the queue bookkeeping, not the math, dominated the backward (the
+official fwd+bwd was ~10x below the forward path).
+
+This module removes both:
+
+  FORWARD   a persistent-pool wavefront (the production renderer's shape,
+            render/wavefront.py) that RECORDS AN ITERATION TAPE: one
+            [B]-row record per pool iteration, written at the iteration
+            index (a dynamic-update-slice — sequential, in-place inside
+            the while_loop; no scatters).  Work ~ sum of path lengths.
+
+  BACKWARD  replays the tape IN REVERSE ITERATION ORDER.  A lane's
+            cotangent at iteration `it` flows from the same lane at
+            `it+1`; a lane that finished a ray at `it` seeds its color
+            cotangent there; a lane that was refilled at `it` emits the
+            primary-ray cotangent and zeroes its carry.  Trip count and
+            occupancy are EXACTLY the forward's — no queue, no
+            longest-path-first sort, no random gathers (tape reads are
+            dynamic slices at the loop index).
+
+Per-iteration cost is [B]-sized elementwise VJP math plus one stacked
+segment-sum of sphere-parameter cotangents ([B,9] -> [N+1,9]; optionally
+as a one-hot MXU matmul instead of a scatter-add).
+
+The semantics differentiated are the reference's bounce loop
+(camera.rs:118-144 / ray_color_iteration) — identical to pathgrad's
+`_local_bounce`; the oracle test autodiffs a pure-JAX replay of the same
+tape and must match this backward exactly.
+
+Tape budget: iterations <= ceil(R*max_depth / B) + max_depth + 2 (full
+occupancy while the ray queue is non-empty; the drain tail advances every
+remaining lane each iteration, so it lasts < max_depth).  The tape is
+allocated at that worst case and the while_loop exits early at the real
+trip count, which the backward consumes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from distributed_raytracer_tpu.grad.pathgrad import (
+    _draws,
+    _gather_params,
+    _local_bounce,
+)
+from distributed_raytracer_tpu.models.scene import Scene
+from distributed_raytracer_tpu.ops.intersect import closest_hit
+
+
+class _Tape(NamedTuple):
+    """Per-pool-iteration records, [T, B, ...]."""
+
+    o: jnp.ndarray         # [T,B,3] lane state entering the bounce (post-refill)
+    d: jnp.ndarray         # [T,B,3]
+    atten: jnp.ndarray     # [T,B,3]
+    idx: jnp.ndarray       # [T,B] i32 winning sphere (junk when !hit)
+    lane_ray: jnp.ndarray  # [T,B] i32 global ray id held by the lane
+    hit: jnp.ndarray       # [T,B] bool (masked by live)
+    live: jnp.ndarray      # [T,B] bool lane held an active ray this iteration
+    take: jnp.ndarray      # [T,B] bool lane was refilled this iteration
+    finished: jnp.ndarray  # [T,B] bool ray emitted its color this iteration
+    ruv: jnp.ndarray       # [T,B,3] unit-vector draw used
+    u: jnp.ndarray         # [T,B] uniform draw used
+
+
+def tape_budget(n_rays: int, max_depth: int, pool: int) -> int:
+    return -(-n_rays * max_depth // pool) + max_depth + 2
+
+
+def _forward_tape(
+    scene: Scene,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    pool: int,
+    intersect_fn=closest_hit,
+    use_fused: bool = False,
+):
+    """Recording wavefront forward.
+
+    Returns (color [R,3], tape, n_it).  use_fused routes the bounce through
+    the fully fused Pallas kernel (intersect + winner select + shade + RNG
+    on-core, ops/pallas/bounce_kernel.py); otherwise intersect_fn + the
+    pure-JAX shade (CPU-testable, threefry draws).
+    """
+    r = ray_o.shape[0]
+    b = min(pool, r)
+    t_budget = tape_budget(r, max_depth, b)
+
+    if use_fused:
+        from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
+
+        seed_base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+
+    ft = ray_o.dtype  # f32 in production; f64 under x64 oracle checks
+    z2 = lambda tail, dt: jnp.zeros((t_budget, b) + tail, dt)
+    tape0 = _Tape(
+        o=z2((3,), ft), d=z2((3,), ft), atten=z2((3,), ft),
+        idx=z2((), jnp.int32), lane_ray=z2((), jnp.int32),
+        hit=z2((), bool), live=z2((), bool), take=z2((), bool), finished=z2((), bool),
+        ruv=z2((3,), ft), u=z2((), ft),
+    )
+
+    def body(carry):
+        (o, d, atten, lane_ray, lane_depth, live, emitted, out, tape, it) = carry
+
+        # --- refill free lanes from the ray queue (rank by cumsum) ---
+        free = ~live
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        remaining = r - emitted
+        take = free & (rank < remaining)
+        nr = jnp.clip(emitted + jnp.where(take, rank, 0), 0, r - 1)
+        tk = take[:, None]
+        o = jnp.where(tk, ray_o[nr], o)
+        d = jnp.where(tk, ray_d[nr], d)
+        atten = jnp.where(tk, 1.0, atten)
+        lane_ray = jnp.where(take, nr, lane_ray)
+        lane_depth = jnp.where(take, 0, lane_depth)
+        live = live | take
+        emitted = emitted + jnp.sum(take, dtype=jnp.int32)
+
+        # --- one bounce for the pool ---
+        if use_fused:
+            res = fused_bounce(o, d, live, scene, seed_base + it * jnp.int32(65537))
+            hit = res.hit & live
+            idx, ruv, u = res.idx, res.ruv, res.u
+            fin = (res.finished == 1) & live
+            keep = live & ~fin
+            o2 = jnp.where(keep[:, None], res.new_o, o)
+            d2 = jnp.where(keep[:, None], res.new_d, d)
+            atten2 = jnp.where(keep[:, None], atten * res.atten, atten)
+            contrib = atten * res.color
+        else:
+            res = intersect_fn(o, d, scene)
+            hit = res.hit & live
+            idx = res.idx
+            params = _gather_params(scene, idx, hit)
+            ruv, u = _draws(jax.random.split(jax.random.fold_in(key, it), b))
+            ruv, u = ruv.astype(ft), u.astype(ft)
+            zero_c = jnp.zeros((b, 3), ft)
+            o2, d2, atten2, contrib, keep = _local_bounce(
+                o, d, atten, zero_c, params, ruv, u, hit, live
+            )
+            fin = live & ~keep
+
+        lane_depth2 = lane_depth + live.astype(jnp.int32)
+        exhausted = keep & (lane_depth2 >= max_depth)
+
+        # --- record this iteration (sequential in-place slice write) ---
+        rec = _Tape(
+            o=o, d=d, atten=atten, idx=idx, lane_ray=lane_ray,
+            hit=hit, live=live, take=take, finished=fin, ruv=ruv, u=u,
+        )
+        tape = jax.tree.map(
+            lambda arr, v: jax.lax.dynamic_update_index_in_dim(arr, v, it, 0),
+            tape, rec,
+        )
+
+        # --- drain: finished lanes store color by unique global ray id ---
+        slot = jnp.where(fin, lane_ray, r + 1)
+        out = out.at[slot].set(contrib, mode="drop", unique_indices=True)
+        live2 = keep & ~exhausted
+        return (o2, d2, atten2, lane_ray, lane_depth2, live2, emitted, out,
+                tape, it + 1)
+
+    def cond(carry):
+        live, emitted, it = carry[5], carry[6], carry[9]
+        return ((emitted < r) | jnp.any(live)) & (it < t_budget)
+
+    carry0 = (
+        jnp.zeros((b, 3), ft),
+        jnp.ones((b, 3), ft),   # nonzero dir: no 0-length rays pre-refill
+        jnp.ones((b, 3), ft),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((r + 2, 3), ft),
+        tape0,
+        jnp.asarray(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, carry0)
+    color, tape, n_it = out[7][:r], out[8], out[9]
+    return color, tape, n_it
+
+
+def _local_f(o, d, atten, color, cw, rw, aw, fw, iw, mat, ruv, u, hit, active):
+    """The differentiable local bounce with unpacked winner params — shared
+    with pathgrad's backward so the two estimators stay in lockstep."""
+    params = dict(centers=cw, radii=rw, albedo=aw, fuzz=fw, ior=iw, mat=mat)
+    o2, d2, atten2, color2, _ = _local_bounce(
+        o, d, atten, color, params, ruv, u, hit, active
+    )
+    return o2, d2, atten2, color2
+
+
+def _backward_tape(
+    scene: Scene,
+    tape: _Tape,
+    n_it: jnp.ndarray,
+    g_color: jnp.ndarray,
+    segsum: str = "scatter",
+):
+    """Reverse replay of the iteration tape -> (d_scene, g_ray_o, g_ray_d).
+
+    segsum: "scatter" (one stacked [B,9] -> [N+1,9] scatter-add per
+    iteration) or "matmul" (one-hot on the MXU: segment-sum as
+    one_hot(seg)^T @ d_params — TPUs do matmuls far faster than
+    random-index scatters).
+    """
+    r = g_color.shape[0]
+    b = tape.u.shape[1]
+    n = scene.num_spheres
+
+    def body(carry):
+        (it, cot_o, cot_d, cot_at, g_pm, g_ray_o, g_ray_d) = carry
+        it = it - 1
+        rec = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, it, 0, keepdims=False), tape
+        )
+
+        # color cotangent enters where the ray finished
+        cot_c = jnp.where(
+            rec.finished[:, None], g_color[jnp.clip(rec.lane_ray, 0, r - 1)], 0.0
+        )
+
+        params = _gather_params(scene, rec.idx, rec.hit)
+        _, vjp = jax.vjp(
+            _local_f,
+            rec.o, rec.d, rec.atten, jnp.zeros((b, 3), rec.o.dtype),
+            params["centers"], params["radii"], params["albedo"],
+            params["fuzz"], params["ior"],
+            params["mat"], rec.ruv, rec.u, rec.hit, rec.live,
+        )
+        (d_o, d_d, d_at, _d_c, d_cw, d_rw, d_aw, d_fw, d_iw, *_rest) = vjp(
+            (cot_o, cot_d, cot_at, cot_c)
+        )
+
+        # sphere-parameter cotangents, one stacked segment-sum
+        seg = jnp.where(rec.hit, rec.idx, n)
+        d_pm = jnp.concatenate(
+            [d_cw, d_rw[:, None], d_aw, d_fw[:, None], d_iw[:, None]], axis=-1
+        )  # [B, 9]
+        if segsum == "matmul":
+            oh = (seg[:, None] == jnp.arange(n + 1, dtype=jnp.int32)[None, :]).astype(
+                jnp.float32
+            )
+            g_pm = g_pm + oh.T @ d_pm
+        else:
+            g_pm = g_pm.at[seg].add(d_pm, mode="drop")
+
+        # refill backward: ray born here -> emit primary cotangent, cut carry
+        tk = rec.take[:, None]
+        slot = jnp.where(rec.take, rec.lane_ray, r + 1)
+        g_ray_o = g_ray_o.at[slot].set(d_o, mode="drop", unique_indices=True)
+        g_ray_d = g_ray_d.at[slot].set(d_d, mode="drop", unique_indices=True)
+        cot_o = jnp.where(tk, 0.0, d_o)
+        cot_d = jnp.where(tk, 0.0, d_d)
+        cot_at = jnp.where(tk, 0.0, d_at)
+        return (it, cot_o, cot_d, cot_at, g_pm, g_ray_o, g_ray_d)
+
+    def cond(carry):
+        return carry[0] > 0
+
+    ft = tape.o.dtype
+    carry0 = (
+        n_it,
+        jnp.zeros((b, 3), ft),
+        jnp.zeros((b, 3), ft),
+        jnp.zeros((b, 3), ft),
+        jnp.zeros((n + 1, 9), ft),
+        jnp.zeros((r + 2, 3), ft),
+        jnp.zeros((r + 2, 3), ft),
+    )
+    (_, _, _, _, g_pm, g_ray_o, g_ray_d) = jax.lax.while_loop(cond, body, carry0)
+
+    d_scene = Scene(
+        centers=g_pm[:n, 0:3],
+        radii=g_pm[:n, 3],
+        albedo=g_pm[:n, 4:7],
+        mat_type=jnp.zeros_like(scene.mat_type),
+        fuzz=g_pm[:n, 7],
+        ior=g_pm[:n, 8],
+    )
+    return d_scene, g_ray_o[:r], g_ray_d[:r]
+
+
+def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int):
+    """Pure-JAX re-execution of a recorded run with the control flow
+    (take/idx/hit/live/finished) and draws frozen — differentiable by
+    jax.grad; the ORACLE for `_backward_tape` (exact-match test)."""
+    r = ray_o.shape[0]
+    b = tape.u.shape[1]
+
+    def step(carry, rec):
+        o, d, atten, out = carry
+        tk = rec.take[:, None]
+        nr = jnp.clip(rec.lane_ray, 0, r - 1)
+        o = jnp.where(tk, ray_o[nr], o)
+        d = jnp.where(tk, ray_d[nr], d)
+        atten = jnp.where(tk, 1.0, atten)
+        params = _gather_params(scene, rec.idx, rec.hit)
+        o2, d2, atten2, contrib = _local_f(
+            o, d, atten, jnp.zeros((b, 3), o.dtype),
+            params["centers"], params["radii"], params["albedo"],
+            params["fuzz"], params["ior"], params["mat"],
+            rec.ruv, rec.u, rec.hit, rec.live,
+        )
+        slot = jnp.where(rec.finished, rec.lane_ray, r + 1)
+        out = out.at[slot].set(contrib, mode="drop", unique_indices=True)
+        return (o2, d2, atten2, out), None
+
+    sl = jax.tree.map(lambda a: a[:n_iters], tape)
+    ft = tape.o.dtype
+    carry0 = (
+        jnp.zeros((b, 3), ft),
+        jnp.ones((b, 3), ft),
+        jnp.ones((b, 3), ft),
+        jnp.zeros((r + 2, 3), ft),
+    )
+    (_, _, _, out), _ = jax.lax.scan(step, carry0, sl)
+    return out[:r]
+
+
+def make_tape_tracer(
+    key: jax.Array,
+    max_depth: int,
+    pool: int = 16384,
+    intersect_fn=closest_hit,
+    use_fused: bool = False,
+    segsum: str = "scatter",
+):
+    """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
+    VJP.  The TPU production config is use_fused=True (fused bounce kernel
+    forward) + the reverse-tape backward."""
+
+    @jax.custom_vjp
+    def traced_k(scene, ray_o, ray_d, k):
+        color, _, _ = _forward_tape(
+            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused
+        )
+        return color
+
+    def traced_fwd(scene, ray_o, ray_d, k):
+        color, tape, n_it = _forward_tape(
+            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused
+        )
+        return color, (scene, tape, n_it)
+
+    def traced_bwd(res, g_color):
+        scene, tape, n_it = res
+        d_scene, g_o, g_d = _backward_tape(scene, tape, n_it, g_color, segsum)
+        import numpy as _np
+
+        d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)
+        return d_scene, g_o, g_d, d_k
+
+    traced_k.defvjp(traced_fwd, traced_bwd)
+
+    def traced(scene, ray_o, ray_d, k=None):
+        return traced_k(scene, ray_o, ray_d, key if k is None else k)
+
+    return traced

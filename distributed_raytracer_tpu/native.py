@@ -21,10 +21,38 @@ _LIB_PATH = os.path.join(
 _lib: Optional[ctypes.CDLL] = None
 
 
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Build the .so from source once per process if it's missing.
+
+    The binary is deliberately NOT committed (a stale .so can silently
+    diverge from dray_native.cpp); `make -C native` is cheap (<2 s, g++
+    only) so production paths self-provision."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(_LIB_PATH)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # NumPy fallbacks cover every entry point
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)

@@ -23,18 +23,51 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import jax
 import numpy as np
 
+_initialized = False
 
-def initialize(coordinator_address: Optional[str] = None) -> None:
-    """Join the multi-host job (no-op when single-process).
 
-    Replaces the reference's discovery protocol: there is nothing to
-    discover — the runtime hands every process the full device set."""
-    if jax.process_count() > 1 or coordinator_address is None:
-        return  # already initialized or single-process
-    jax.distributed.initialize(coordinator_address=coordinator_address)
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> None:
+    """Join the multi-host job.
+
+    Replaces the reference's multicast discovery protocol
+    (distributed_common.rs:88-116): there is nothing to discover — the
+    coordinator address comes from the environment/scheduler and the
+    runtime hands every process the full device set.
+
+    MUST run before any JAX backend use (device queries included — a
+    backend query would initialize the local runtime and break the
+    subsequent distributed init).  Idempotence is tracked with a module
+    flag, never by querying the backend.  Args not given are taken from
+    the standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID) or scheduler auto-detection."""
+    global _initialized
+    if _initialized:
+        return
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return  # single-process run: nothing to join
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _initialized = True
 
 
 def process_info() -> dict:
@@ -44,6 +77,18 @@ def process_info() -> dict:
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+
+
+def put_global(x, sharding) -> jax.Array:
+    """Place host-replicated data as a global array on a (possibly
+    multi-process) sharding.  Every process passes the SAME full array;
+    each fills only its addressable shards (make_array_from_callback), so
+    this works identically from 1 process to a pod — the TPU-native form
+    of the orchestrator's share_params push (orchestrator_server.rs:225-232)."""
+    import numpy as _np
+
+    x = _np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def replicate_scene(scene, mesh):
@@ -58,7 +103,7 @@ def gather_image(partial_sum: jax.Array) -> np.ndarray:
     """Host-side image fan-in: fully-addressable arrays come back directly;
     multi-host sharded results go through process_allgather (the pixel
     return path, ray_server.rs:93-103 + orchestrator_server.rs:253-256)."""
-    if jax.process_count() == 1:
+    if getattr(partial_sum, "is_fully_addressable", True):
         return np.asarray(jax.device_get(partial_sum))
     from jax.experimental import multihost_utils
 

@@ -83,11 +83,12 @@ class ShardedRenderer:
     def __init__(self, mesh: Mesh, camera: Camera, differentiable: bool = False):
         self.mesh = mesh
         self.camera = camera
+        from distributed_raytracer_tpu.parallel.multihost import put_global
+
         n_shards = mesh.shape[RAYS_AXIS]
-        # pad so every device gets an equal tile (static shapes)
-        self.ids = jax.device_put(
-            _padded_pixel_ids(camera, n_shards), ray_sharding(mesh)
-        )
+        # pad so every device gets an equal tile (static shapes);
+        # put_global works on multi-process meshes (device_put does not)
+        self.ids = put_global(_padded_pixel_ids(camera, n_shards), ray_sharding(mesh))
         rep = replicated(mesh)
         self._render = jax.jit(
             functools.partial(_render_ids, differentiable=differentiable),

@@ -1,0 +1,152 @@
+"""Reverse-tape wavefront gradients (grad/tapegrad.py).
+
+The oracle is jax.grad through `replay_from_tape` — a pure-JAX
+re-execution of the recorded run with control flow and draws frozen;
+`_backward_tape` must reproduce it to numerical precision.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distributed_raytracer_tpu.grad.tapegrad import (
+    _backward_tape,
+    _forward_tape,
+    make_tape_tracer,
+    replay_from_tape,
+    tape_budget,
+)
+from distributed_raytracer_tpu.models.scene import SceneBuilder
+from distributed_raytracer_tpu.ops.camera import generate_rays, make_camera
+
+
+def setup(width=24, depth=8):
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .add_metal((1.1, 0, -1.5), 0.4, (0.8, 0.8, 0.8), 0.15)
+        .add_dielectric((-1.1, 0, -1.5), 0.4, 1.5)
+        .build()
+    )
+    cam = make_camera(aspect_ratio=1.0, image_width=width, max_depth=depth)
+    ids = jnp.arange(cam.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, jax.random.PRNGKey(7), ids % width, ids // width)
+    return scene, o, d
+
+
+@pytest.mark.parametrize("pool,segsum", [(64, "scatter"), (256, "scatter"), (64, "matmul")])
+def test_backward_matches_replay_autodiff(pool, segsum):
+    scene, o, d = setup()
+    key = jax.random.PRNGKey(3)
+    depth = 8
+
+    color, tape, n_it = jax.jit(
+        lambda s, oo, dd: _forward_tape(s, oo, dd, key, depth, pool)
+    )(scene, o, d)
+    n_iters = int(n_it)
+    assert n_iters <= tape_budget(o.shape[0], depth, min(pool, o.shape[0]))
+
+    # the replay reproduces the recorded colors (to fusion-level fp noise:
+    # while_loop and scan compile to differently-fused FMA orders)
+    re_color = replay_from_tape(scene, o, d, tape, n_iters)
+    np.testing.assert_allclose(
+        np.asarray(color), np.asarray(re_color), rtol=1e-5, atol=1e-6
+    )
+
+    g_color = jax.random.normal(jax.random.PRNGKey(11), color.shape)
+
+    def oracle_loss(s, oo, dd):
+        return jnp.sum(replay_from_tape(s, oo, dd, tape, n_iters) * g_color)
+
+    go_scene, go_o, go_d = jax.grad(
+        oracle_loss, argnums=(0, 1, 2), allow_int=True
+    )(scene, o, d)
+
+    d_scene, g_o, g_d = jax.jit(
+        lambda s, g: _backward_tape(s, tape, n_it, g, segsum)
+    )(scene, g_color)
+
+    # semantically exact: the same comparison under jax_enable_x64 agrees to
+    # 1e-14; at f32 the reversed accumulation order leaves ~1e-4 noise
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(d_scene, name))
+        b = np.asarray(getattr(go_scene, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=name)
+    for a, b, name in ((g_o, go_o, "ray_o"), (g_d, go_d, "ray_d")):
+        scale = np.abs(np.asarray(b)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4, err_msg=name
+        )
+
+
+def test_tracer_end_to_end_matches_replay():
+    scene, o, d = setup(width=16, depth=6)
+    key = jax.random.PRNGKey(5)
+    tracer = make_tape_tracer(key, 6, pool=128)
+
+    @jax.jit
+    def vg(s, oo, dd):
+        return jax.value_and_grad(
+            lambda s_: jnp.sum(tracer(s_, oo, dd) ** 2), allow_int=True
+        )(s)
+
+    loss, g = vg(scene, o, d)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    # oracle: autodiff of the replay of the same recorded run
+    color, tape, n_it = _forward_tape(scene, o, d, key, 6, 128)
+    n_iters = int(n_it)
+
+    def oracle(s):
+        return jnp.sum(replay_from_tape(s, o, d, tape, n_iters) ** 2)
+
+    go = jax.grad(oracle, allow_int=True)(scene)
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a, b = np.asarray(getattr(g, name)), np.asarray(getattr(go, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5, err_msg=name)
+
+
+def test_depth_exhausted_rays_zero_grad():
+    scene = (
+        SceneBuilder()
+        .add_metal((0, 0, -1002), 1000.0, (0.9, 0.9, 0.9), 0.0)
+        .add_metal((0, 0, 1002), 1000.0, (0.9, 0.9, 0.9), 0.0)
+        .build()
+    )
+    o = jnp.zeros((64, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (64, 1))
+    f = make_tape_tracer(jax.random.PRNGKey(0), 4, pool=32)
+    color = f(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(color), 0.0)
+    g = jax.grad(lambda s: jnp.sum(f(s, o, d)), allow_int=True)(scene)
+    for name in ("centers", "radii", "albedo"):
+        arr = np.asarray(getattr(g, name))
+        assert np.all(np.isfinite(arr))
+        np.testing.assert_array_equal(arr, 0.0)
+
+
+def test_fd_albedo():
+    # finite-difference check on an edge-free config (fixed tape noise)
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .build()
+    )
+    cam = make_camera(aspect_ratio=1.0, image_width=12, max_depth=4)
+    ids = jnp.arange(cam.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, jax.random.PRNGKey(7), ids % 12, ids // 12)
+    f = make_tape_tracer(jax.random.PRNGKey(2), 4, pool=64)
+
+    def loss(v):
+        s = scene.replace(albedo=scene.albedo.at[1, 0].set(v))
+        return jnp.sum(f(s, o, d) ** 2)
+
+    g = float(jax.grad(loss)(jnp.float32(0.7)))
+    eps = 1e-2
+    fd = (float(loss(jnp.float32(0.7 + eps))) - float(loss(jnp.float32(0.7 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=0.08, atol=1e-5)
