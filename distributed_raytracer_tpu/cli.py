@@ -61,47 +61,61 @@ def _load(args):
     return scene, cam
 
 
+def _resolve_engine(args, jax):
+    """auto -> the fused production path on TPU, scan on CPU; the
+    deprecated --wavefront/--pallas flags map onto the engine names."""
+    engine = args.engine
+    if args.accel == "culled":
+        return "wavefront"
+    if engine == "auto":
+        if args.wavefront:
+            return "wavefront"
+        on_tpu = jax.devices()[0].platform != "cpu"
+        return "fused" if on_tpu else "scan"
+    return engine
+
+
+def _job_config(args, engine):
+    """The effective RenderJobConfig for this invocation — serialized next
+    to checkpoints/outputs for reproducibility."""
+    from distributed_raytracer_tpu.utils.config import RenderJobConfig
+
+    return RenderJobConfig(
+        preset=args.config,
+        seed=args.seed,
+        spp=args.spp,
+        batch=args.batch,
+        checkpoint_path=args.checkpoint,
+        output=args.out,
+        engine=engine,
+        fill=args.fill,
+    )
+
+
 def cmd_render(args):
-    _setup_backend(args)
+    jax = _setup_backend(args)
     from distributed_raytracer_tpu.render.image import write_ppm
     from distributed_raytracer_tpu.render.progressive import render_progressive
     from distributed_raytracer_tpu.utils.metrics import RenderMetrics
 
     scene, cam = _load(args)
-    if args.wavefront:
-        import time as _time
-
-        from distributed_raytracer_tpu.render.wavefront import render_image_wavefront
-
-        intersect_fn = None
-        if args.accel == "culled":
-            from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
-                build_culled_scene,
-                make_culled_intersect,
-            )
-
-            culled = build_culled_scene(scene)
-            scene = culled.scene  # reordered so material gathers line up
-            intersect_fn = make_culled_intersect(culled)
-        t0 = _time.time()
-        img = render_image_wavefront(
-            scene,
-            cam,
-            seed=args.seed,
-            spp=cam.samples_per_pixel,
-            batch=args.batch,
-            use_pallas=args.pallas,
-            intersect_fn=intersect_fn,
+    engine = _resolve_engine(args, jax)
+    intersect_fn = None
+    if args.accel == "culled":
+        from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
+            build_culled_scene,
+            make_culled_intersect,
         )
-        el = _time.time() - t0
-        out = args.out or f"{args.config}.ppm"
-        write_ppm(out, img)
-        rays = cam.num_pixels * cam.samples_per_pixel
-        print(
-            f"wavefront: {rays:,} rays in {el:.1f}s ({rays / el:,.0f} rays/s); wrote {out}",
-            file=sys.stderr,
-        )
-        return
+
+        culled = build_culled_scene(scene)
+        scene = culled.scene  # reordered so material gathers line up
+        intersect_fn = make_culled_intersect(culled)
+
+    job = _job_config(args, engine)
+    if args.checkpoint:
+        with open(args.checkpoint + ".json", "w") as f:
+            f.write(job.to_json())
+
     metrics = RenderMetrics()
     out = args.out or f"{args.config}.ppm"
     t0 = time.time()
@@ -112,11 +126,15 @@ def cmd_render(args):
         el = time.time() - t0
         print(
             f"sample {state.samples_done}/{cam.samples_per_pixel} "
-            f"({cam.num_pixels * state.samples_done / el:,.0f} rays/s)",
+            f"({cam.num_pixels * state.samples_done / el:,.0f} rays/s) [{engine}]",
             file=sys.stderr,
         )
         if args.snapshot_every and state.samples_done % args.snapshot_every == 0:
             write_ppm(out, state.mean_image())
+
+    fill_cb = None
+    if args.fill == "shuffled" and args.snapshot_every:
+        fill_cb = lambda img: write_ppm(out, img)
 
     with metrics.phase("render"):
         state = render_progressive(
@@ -128,10 +146,15 @@ def cmd_render(args):
             checkpoint_path=args.checkpoint,
             resume=not args.no_resume,
             progress_cb=progress,
+            engine=engine,
+            use_pallas=args.pallas,
+            intersect_fn=intersect_fn,
+            fill=args.fill,
+            fill_cb=fill_cb,
         )
     write_ppm(out, state.mean_image())
     metrics.report()
-    print(f"wrote {out}", file=sys.stderr)
+    print(f"wrote {out} [engine={engine}]", file=sys.stderr)
 
 
 def cmd_render_dist(args):
@@ -232,14 +255,24 @@ def main(argv=None):
 
     p = sub.add_parser("render", help="single-device progressive render")
     _add_common(p)
+    p.add_argument("--job", default=None,
+                   help="RenderJobConfig JSON file (flags given on the "
+                        "command line still win)")
     p.add_argument("--checkpoint", default=None, help="checkpoint path for resume")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="write progressive ppm every N samples")
+    p.add_argument("--engine", choices=["auto", "scan", "wavefront", "fused"],
+                   default="auto",
+                   help="auto = fused wavefront kernel on TPU, scan on CPU; "
+                        "all engines support checkpoint/resume")
+    p.add_argument("--fill", choices=["row", "shuffled"], default="row",
+                   help="shuffled = sample-0 progressive fill-in in shuffled "
+                        "pixel order (CameraRayIterator parity)")
     p.add_argument("--wavefront", action="store_true",
-                   help="persistent-pool renderer (fast fwd path)")
+                   help="(deprecated) same as --engine wavefront")
     p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas intersect kernel (TPU only)")
+                   help="Pallas intersect kernel for the wavefront engine (TPU)")
     p.add_argument("--accel", choices=["none", "culled"], default="none",
                    help="acceleration structure (culled = Morton block-culled sweep)")
     p.set_defaults(fn=cmd_render)
@@ -260,6 +293,25 @@ def main(argv=None):
     p.set_defaults(fn=cmd_invert)
 
     args = ap.parse_args(argv)
+    if getattr(args, "job", None):
+        # job file supplies defaults; explicit flags (non-default values)
+        # keep precedence because we only fill attrs still at their default
+        from distributed_raytracer_tpu.utils.config import RenderJobConfig
+
+        with open(args.job) as f:
+            job = RenderJobConfig.from_json(f.read())
+        if args.config == "config1" and job.preset:
+            args.config = job.preset
+        for attr, jval in (
+            ("seed", job.seed), ("spp", job.spp), ("batch", job.batch),
+            ("checkpoint", job.checkpoint_path), ("out", job.output),
+            ("engine", job.engine), ("fill", job.fill),
+        ):
+            cur = getattr(args, attr, None)
+            default = {"seed": 0, "batch": 16, "engine": "auto", "fill": "row"}.get(attr)
+            if cur == default or cur is None:
+                if jval is not None:
+                    setattr(args, attr, jval)
     args.fn(args)
 
 

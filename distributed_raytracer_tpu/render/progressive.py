@@ -35,6 +35,11 @@ class AccumState:
     seed: int
     image_width: int
     image_height: int
+    # engine/batch pin resume bit-identity for the wavefront engines (their
+    # RNG is keyed per sample-batch start, so the batch split must match);
+    # the scan engine keys per global sample index and accepts any batch.
+    engine: str = "scan"
+    batch: int = 0
 
     def mean_image(self) -> np.ndarray:
         denom = max(self.samples_done, 1)  # colors.rs:40's zero-count guard
@@ -55,6 +60,8 @@ class AccumState:
                     seed=self.seed,
                     image_width=self.image_width,
                     image_height=self.image_height,
+                    engine=self.engine,
+                    batch=self.batch,
                 )
             os.replace(tmp, path)
         except BaseException:
@@ -71,17 +78,82 @@ class AccumState:
             seed=int(z["seed"]),
             image_width=int(z["image_width"]),
             image_height=int(z["image_height"]),
+            engine=str(z["engine"]) if "engine" in z.files else "scan",
+            batch=int(z["batch"]) if "batch" in z.files else 0,
         )
 
     @classmethod
-    def fresh(cls, camera: Camera, seed: int) -> "AccumState":
+    def fresh(cls, camera: Camera, seed: int, engine: str = "scan", batch: int = 0) -> "AccumState":
         return cls(
             raw_sum=np.zeros((camera.num_pixels, 3), np.float32),
             samples_done=0,
             seed=seed,
             image_width=camera.image_width,
             image_height=camera.image_height,
+            engine=engine,
+            batch=batch,
         )
+
+
+def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas, intersect_fn):
+    """Jitted sample-batch renderer for the wavefront engines."""
+    import functools
+
+    from distributed_raytracer_tpu.render import wavefront as wf
+
+    if engine == "fused":
+        render = jax.jit(
+            wf.render_wavefront_sum_fused, static_argnames=("spp", "pool_size")
+        )
+        return lambda k, n: render(scene, camera, k, spp=n, pool_size=pool_size)
+    if intersect_fn is not None:
+        render = jax.jit(
+            functools.partial(wf.render_wavefront_sum, intersect_fn=intersect_fn),
+            static_argnames=("spp", "pool_size"),
+        )
+        return lambda k, n: render(scene, camera, k, spp=n, pool_size=pool_size)
+    return lambda k, n: wf._render_wavefront_jit(
+        scene, camera, k, n, pool_size, use_pallas
+    )
+
+
+def _shuffled_fill_sample(
+    scene, camera, key, fill_chunk: int, fill_cb
+) -> np.ndarray:
+    """Render sample 0 in SHUFFLED pixel chunks — the TPU-native form of the
+    reference's CameraRayIterator progressive fill-in (camera.rs:68-116):
+    the image appears scattered-uniformly instead of top-down.  Returns the
+    full sample-0 color sum [H*W, 3].  fill_cb (optional) receives the
+    partially-filled mean image [H, W, 3] after each chunk (untouched pixels
+    black, like the reference's window)."""
+    from distributed_raytracer_tpu import native
+    from distributed_raytracer_tpu.ops.camera import generate_rays
+    from distributed_raytracer_tpu.ops.trace import trace_rays_fast
+
+    n_pix = camera.num_pixels
+    w = camera.image_width
+    perm = native.shuffled_indices(n_pix, seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    chunk = min(fill_chunk, n_pix)
+
+    @jax.jit
+    def render_chunk(scene, k, ids):
+        k_cam, k_trace = jax.random.split(k)
+        o, d = generate_rays(camera, k_cam, ids % w, ids // w)
+        return trace_rays_fast(scene, o, d, k_trace, camera.max_depth)
+
+    raw = np.zeros((n_pix, 3), np.float32)
+    count = np.zeros((n_pix,), np.int32)
+    for c0 in range(0, n_pix, chunk):
+        ids = perm[c0 : c0 + chunk]
+        pad = chunk - len(ids)
+        ids_j = jnp.asarray(np.pad(ids, (0, pad)), jnp.int32)
+        colors = np.asarray(render_chunk(scene, jax.random.fold_in(key, c0), ids_j))
+        # write_color semantics via the native host runtime (colors.rs:26-46)
+        native.accumulate(raw, count, colors[: len(ids)], ids)
+        if fill_cb is not None:
+            denom = np.maximum(count, 1).astype(np.float32)[:, None]
+            fill_cb((raw / denom).reshape(camera.image_height, w, 3))
+    return raw
 
 
 def render_progressive(
@@ -95,11 +167,30 @@ def render_progressive(
     checkpoint_every: int = 1,
     resume: bool = True,
     progress_cb: Optional[Callable[[AccumState], None]] = None,
+    engine: str = "scan",
+    pool_size: int = 131072,
+    use_pallas: bool = False,
+    intersect_fn=None,
+    fill: str = "row",
+    fill_chunk: int = 16384,
+    fill_cb=None,
 ) -> AccumState:
     """Progressive render loop with optional checkpointing.
 
-    Sample batch s..s+n uses keys folded from (seed, sample index) only, so a
-    resumed render produces bit-identical output to an uninterrupted one.
+    engine:
+      "scan"      masked fixed-depth scan (keys folded per global sample
+                  index — resume is bit-identical for ANY batch split)
+      "wavefront" persistent-pool renderer (optionally use_pallas /
+                  a custom intersect_fn, e.g. the block-culled sweep)
+      "fused"     wavefront + the fully fused bounce kernel (TPU) — the
+                  production fast path, now with checkpoint/resume
+    The wavefront engines key their noise per sample-batch start, so resume
+    is bit-identical when (engine, batch) match the checkpoint; mismatches
+    restart the render.
+
+    fill="shuffled" renders sample 0 in shuffled pixel chunks (the
+    reference's CameraRayIterator fill-in order, camera.rs:68-116) with
+    fill_cb progressive partial images; later samples proceed sample-major.
     """
     spp = spp if spp is not None else camera.samples_per_pixel
 
@@ -110,17 +201,40 @@ def render_progressive(
             state.seed != seed
             or state.image_width != camera.image_width
             or state.image_height != camera.image_height
+            or state.engine != engine
+            or (engine != "scan" and state.batch != batch)
         ):
             state = None  # incompatible checkpoint: start over
     if state is None:
-        state = AccumState.fresh(camera, seed)
+        state = AccumState.fresh(camera, seed, engine=engine, batch=batch)
 
     key = jax.random.PRNGKey(seed)
+    if engine != "scan":
+        delta_fn = _wavefront_delta_fn(
+            scene, camera, engine, pool_size, use_pallas, intersect_fn
+        )
+
+    # shuffled progressive fill-in: sample 0 only (the reference's
+    # distributed mode renders exactly 1 spp, camera.rs:77,93-95)
+    if fill == "shuffled" and state.samples_done == 0:
+        fill_key = jax.random.fold_in(key, 0x5F111)  # distinct from sample keys
+        state.raw_sum = state.raw_sum + _shuffled_fill_sample(
+            scene, camera, fill_key, fill_chunk, fill_cb
+        )
+        state.samples_done = 1
+        if checkpoint_path:
+            state.save(checkpoint_path)
+        if progress_cb is not None:
+            progress_cb(state)
+
     batches_since_ckpt = 0
     while state.samples_done < spp:
         n = min(batch, spp - state.samples_done)
-        s = jnp.arange(state.samples_done, state.samples_done + n, dtype=jnp.int32)
-        delta = _render_batch_jit(scene, camera, key, s, tile_size, False)
+        if engine == "scan":
+            s = jnp.arange(state.samples_done, state.samples_done + n, dtype=jnp.int32)
+            delta = _render_batch_jit(scene, camera, key, s, tile_size, False)
+        else:
+            delta = delta_fn(jax.random.fold_in(key, state.samples_done), n)
         state.raw_sum = state.raw_sum + np.asarray(delta)
         state.samples_done += n
         batches_since_ckpt += 1

@@ -47,6 +47,8 @@ class RenderJobConfig:
     checkpoint_every: int = 1
     output: Optional[str] = None      # .ppm path
     n_scene_shards: int = 1           # sphere-axis (object-server) sharding
+    engine: str = "auto"              # auto | scan | wavefront | fused
+    fill: str = "row"                 # row | shuffled (progressive fill order)
 
     def build(self) -> Tuple[Scene, Camera]:
         if self.preset:

@@ -42,7 +42,10 @@ class RenderMetrics:
         total = sum(self.phase_seconds.values())
         return self.rays_traced / total if total > 0 else 0.0
 
-    def report(self, stream=sys.stderr) -> None:
+    def report(self, stream=None) -> None:
+        # resolve at call time: a default-arg sys.stderr binds whatever
+        # stream was installed at import (e.g. pytest's capture) forever
+        stream = stream if stream is not None else sys.stderr
         print(
             json.dumps(
                 {

@@ -51,3 +51,43 @@ def test_cli_wavefront(tmp_path):
     main(["render", "--config", "config1", "--spp", "2", "--width", "64",
           "--wavefront", "--out", out])
     assert os.path.exists(out)
+
+
+def test_cli_engine_flag_and_checkpoint_config(tmp_path):
+    from distributed_raytracer_tpu.cli import main
+
+    out = str(tmp_path / "e.ppm")
+    ck = str(tmp_path / "e.ckpt")
+    main(["render", "--config", "config1", "--spp", "2", "--width", "64",
+          "--engine", "wavefront", "--checkpoint", ck, "--out", out])
+    assert os.path.exists(out) and os.path.exists(ck)
+    # the effective RenderJobConfig is serialized next to the checkpoint
+    assert os.path.exists(ck + ".json")
+    cfg = RenderJobConfig.from_json(open(ck + ".json").read())
+    assert cfg.preset == "config1" and cfg.engine == "wavefront" and cfg.spp == 2
+
+
+def test_cli_job_file(tmp_path):
+    from distributed_raytracer_tpu.cli import main
+
+    out = str(tmp_path / "j.ppm")
+    job = RenderJobConfig(preset="config1", seed=5, spp=2, batch=2,
+                          output=out, engine="scan")
+    jp = str(tmp_path / "job.json")
+    with open(jp, "w") as f:
+        f.write(job.to_json())
+    main(["render", "--job", jp, "--width", "48"])
+    assert os.path.exists(out)
+
+
+def test_cli_shuffled_fill(tmp_path):
+    from distributed_raytracer_tpu.cli import main
+
+    out = str(tmp_path / "s.ppm")
+    main(["render", "--config", "config1", "--spp", "2", "--width", "48",
+          "--fill", "shuffled", "--snapshot-every", "1", "--out", out])
+    assert os.path.exists(out)
+    from distributed_raytracer_tpu.render.image import read_ppm
+
+    img = read_ppm(out)
+    assert np.isfinite(img).all() and img.mean() > 0

@@ -76,6 +76,68 @@ def test_checkpoint_atomic_save(tmp_path):
     np.testing.assert_array_equal(loaded.raw_sum, st.raw_sum)
 
 
+def test_wavefront_engine_resume_bit_identical(tmp_path):
+    scene, cam = config1()
+    cam = small(cam)
+    ck = str(tmp_path / "w.ckpt")
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(state):
+        if state.samples_done >= 4:
+            raise Stop
+
+    try:
+        render_progressive(
+            scene, cam, seed=0, spp=8, batch=2, checkpoint_path=ck,
+            progress_cb=interrupt, engine="wavefront", pool_size=512,
+        )
+    except Stop:
+        pass
+    mid = AccumState.load(ck)
+    assert mid.samples_done == 4 and mid.engine == "wavefront" and mid.batch == 2
+
+    resumed = render_progressive(
+        scene, cam, seed=0, spp=8, batch=2, checkpoint_path=ck,
+        engine="wavefront", pool_size=512,
+    )
+    straight = render_progressive(
+        scene, cam, seed=0, spp=8, batch=2, engine="wavefront", pool_size=512
+    )
+    np.testing.assert_array_equal(resumed.raw_sum, straight.raw_sum)
+
+    # batch mismatch on a wavefront checkpoint -> restart, matching fresh
+    st = render_progressive(
+        scene, cam, seed=0, spp=8, batch=4, checkpoint_path=ck,
+        engine="wavefront", pool_size=512,
+    )
+    fresh = render_progressive(
+        scene, cam, seed=0, spp=8, batch=4, engine="wavefront", pool_size=512
+    )
+    np.testing.assert_array_equal(st.raw_sum, fresh.raw_sum)
+
+
+def test_shuffled_fill_covers_every_pixel_once():
+    scene, cam = config1()
+    cam = small(cam)
+    snapshots = []
+    st = render_progressive(
+        scene, cam, seed=0, spp=2, batch=2, fill="shuffled", fill_chunk=1000,
+        fill_cb=lambda img: snapshots.append(img.copy()),
+    )
+    assert st.samples_done == 2
+    assert np.isfinite(st.raw_sum).all()
+    # partial snapshots fill in progressively: nonzero pixel count increases
+    filled = [int((s.reshape(-1, 3).sum(-1) != 0).sum()) for s in snapshots]
+    assert filled == sorted(filled) and filled[0] < filled[-1]
+    # deterministic: a second run is bit-identical
+    st2 = render_progressive(
+        scene, cam, seed=0, spp=2, batch=2, fill="shuffled", fill_chunk=1000
+    )
+    np.testing.assert_array_equal(st.raw_sum, st2.raw_sum)
+
+
 def test_mean_image_zero_count_guard():
     st = AccumState(
         raw_sum=np.ones((4, 3), np.float32), samples_done=0, seed=0,

@@ -129,6 +129,34 @@ def test_depth_exhausted_rays_zero_grad():
         np.testing.assert_array_equal(arr, 0.0)
 
 
+def test_fused_forward_fd_albedo():
+    # fused-bounce-kernel forward + reverse-tape backward (interpret mode:
+    # constant PRNG draws — still a fixed-noise estimator, FD-checkable)
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .build()
+    )
+    cam = make_camera(aspect_ratio=1.0, image_width=12, max_depth=4)
+    ids = jnp.arange(cam.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, jax.random.PRNGKey(7), ids % 12, ids // 12)
+    f = make_tape_tracer(jax.random.PRNGKey(2), 4, pool=64, use_fused=True)
+
+    def loss(v):
+        s = scene.replace(albedo=scene.albedo.at[1, 0].set(v))
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(f(s, o, d) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda v: loss(v))(jnp.float32(0.7))
+    eps = 1e-2
+    fd = (float(loss(jnp.float32(0.7 + eps))) - float(loss(jnp.float32(0.7 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=0.08, atol=1e-5)
+
+
 def test_fd_albedo():
     # finite-difference check on an edge-free config (fixed tape noise)
     scene = (
