@@ -184,9 +184,15 @@ def cmd_render_dist(args):
         key = jax.random.PRNGKey(args.seed)
         spp = cam.samples_per_pixel
         acc = jnp.zeros((m, 3), jnp.float32)
-        for s in range(spp):
-            acc = acc + render(padded, key, jnp.int32(s), ids)
-            print(f"sample {s + 1}/{spp}", file=sys.stderr)
+        # sample batches scanned INSIDE the sharded program: ceil(spp/batch)
+        # dispatches, not one per sample
+        done = 0
+        while done < spp:
+            nb = min(args.batch, spp - done)
+            s = jnp.arange(done, done + nb, dtype=jnp.int32)
+            acc = acc + render(padded, key, s, ids)
+            done += nb
+            print(f"samples {done}/{spp}", file=sys.stderr)
         img = (np.asarray(acc[:n]) / spp).reshape(cam.image_height, cam.image_width, 3)
     else:
         r = ShardedRenderer(mesh, cam)

@@ -84,6 +84,7 @@ def _forward_tape(
     pool: int,
     intersect_fn=closest_hit,
     use_fused: bool = False,
+    budget: Optional[int] = None,
 ):
     """Recording wavefront forward.
 
@@ -91,10 +92,16 @@ def _forward_tape(
     the fully fused Pallas kernel (intersect + winner select + shade + RNG
     on-core, ops/pallas/bounce_kernel.py); otherwise intersect_fn + the
     pure-JAX shade (CPU-testable, threefry draws).
+
+    budget: tape length override.  The default is the proven worst case
+    (every ray runs to max_depth); real scenes terminate in a few bounces,
+    so production callers pass a tight budget and check for overflow
+    (n_it == budget with work remaining would truncate gradients — the
+    tracer's caller re-runs with the worst case if flagged).
     """
     r = ray_o.shape[0]
     b = min(pool, r)
-    t_budget = tape_budget(r, max_depth, b)
+    t_budget = budget if budget is not None else tape_budget(r, max_depth, b)
 
     if use_fused:
         from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
@@ -338,6 +345,7 @@ def make_tape_tracer(
     intersect_fn=closest_hit,
     use_fused: bool = False,
     segsum: str = "scatter",
+    budget: Optional[int] = None,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
     VJP.  The TPU production config is use_fused=True (fused bounce kernel
@@ -346,13 +354,13 @@ def make_tape_tracer(
     @jax.custom_vjp
     def traced_k(scene, ray_o, ray_d, k):
         color, _, _ = _forward_tape(
-            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused
+            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused, budget
         )
         return color
 
     def traced_fwd(scene, ray_o, ray_d, k):
         color, tape, n_it = _forward_tape(
-            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused
+            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused, budget
         )
         return color, (scene, tape, n_it)
 

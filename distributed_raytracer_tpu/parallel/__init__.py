@@ -12,6 +12,7 @@ from distributed_raytracer_tpu.parallel.sharded import (  # noqa: F401
 )
 from distributed_raytracer_tpu.parallel.scene_sharded import (  # noqa: F401
     closest_hit_sharded,
+    make_scene_sharded_grad_fn,
     make_scene_sharded_render,
     shard_scene,
     trace_rays_sharded,

@@ -68,27 +68,37 @@ def gather_params_sharded(
     idx_global: jnp.ndarray,
     axis_name: str = SCENE_AXIS,
 ) -> dict:
-    """Winning-sphere attributes via masked psum: the shard owning the
-    winner contributes its values, everyone else zeros."""
+    """Winning-sphere attributes via ONE masked psum: the shard owning the
+    winner contributes its values, everyone else zeros.
+
+    All 10 per-sphere attributes are stacked into a single [R, 10] payload
+    so the whole fetch is one collective per bounce (round-1 issued six —
+    at depth 50 that was 300 collectives per sample on the scene axis)."""
     n_local = scene_shard.num_spheres
     my_shard = jax.lax.axis_index(axis_name)
     owner = idx_global // n_local
     local_idx = jnp.where(owner == my_shard, idx_global - owner * n_local, 0)
     mine = (owner == my_shard).astype(jnp.float32)
 
-    def fetch(arr, is_vec):
-        g = arr[local_idx]
-        m = mine[:, None] if is_vec else mine
-        return jax.lax.psum(g * m, axis_name)
-
-    mat_f = fetch(scene_shard.mat_type.astype(jnp.float32), False)
+    stacked = jnp.concatenate(
+        [
+            scene_shard.centers,                               # 0:3
+            scene_shard.radii[:, None],                        # 3
+            scene_shard.albedo,                                # 4:7
+            scene_shard.fuzz[:, None],                         # 7
+            scene_shard.ior[:, None],                          # 8
+            scene_shard.mat_type.astype(jnp.float32)[:, None],  # 9 (exact small ints)
+        ],
+        axis=-1,
+    )  # [N_local, 10] — loop-invariant; XLA hoists it out of the bounce scan
+    g = jax.lax.psum(stacked[local_idx] * mine[:, None], axis_name)
     return dict(
-        centers=fetch(scene_shard.centers, True),
-        radii=fetch(scene_shard.radii, False),
-        albedo=fetch(scene_shard.albedo, True),
-        mat=mat_f.astype(jnp.int32),
-        fuzz=fetch(scene_shard.fuzz, False),
-        ior=fetch(scene_shard.ior, False),
+        centers=g[:, 0:3],
+        radii=g[:, 3],
+        albedo=g[:, 4:7],
+        mat=g[:, 9].astype(jnp.int32),
+        fuzz=g[:, 7],
+        ior=g[:, 8],
     )
 
 
@@ -166,26 +176,44 @@ def shard_scene(scene: Scene, n_shards: int) -> Scene:
     )
 
 
-def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[int] = None):
-    """Jitted one-sample renderer with rays sharded over "rays" AND the scene
-    sharded over "scene" — the full 2D (ray servers x object servers)
-    topology of the reference, as one shard_mapped program.
-
-    Returns render(scene, key, sample_index, ids) -> colors [len(ids), 3];
-    ids must be length-padded to a multiple of mesh.shape["rays"].
-    """
-    depth = max_depth if max_depth is not None else camera.max_depth
+def _trace_sample_sum_local(
+    scene_shard: Scene, key: jax.Array, sample_indices, ids, camera: Camera, depth: int
+) -> jnp.ndarray:
+    """Sum of per-sample colors for this device's ray tile, scanning the
+    sample axis INSIDE the program (mirrors sharded._render_ids) — one
+    dispatch per sample batch instead of one per sample."""
     w = camera.image_width
 
-    def local_fn(scene_shard: Scene, key: jax.Array, sample_index, ids):
+    def one_sample(acc, s):
         # per-ray-shard key: fold in the rays-axis index so different ray
         # tiles draw independent noise, while scene-axis members stay in
         # lockstep (they must agree on every draw).
-        k = jax.random.fold_in(key, sample_index)
+        k = jax.random.fold_in(key, s)
         k = jax.random.fold_in(k, jax.lax.axis_index(RAYS_AXIS))
         k_cam, k_trace = jax.random.split(k)
         o, d = generate_rays(camera, k_cam, ids % w, ids // w)
-        return trace_rays_sharded(scene_shard, o, d, k_trace, depth)
+        return acc + trace_rays_sharded(scene_shard, o, d, k_trace, depth), None
+
+    acc0 = jnp.zeros((ids.shape[0], 3), jnp.float32)
+    acc, _ = jax.lax.scan(one_sample, acc0, sample_indices)
+    return acc
+
+
+def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[int] = None):
+    """Jitted sample-batched renderer with rays sharded over "rays" AND the
+    scene sharded over "scene" — the full 2D (ray servers x object servers)
+    topology of the reference, as one shard_mapped program.
+
+    Returns render(scene, key, sample_indices, ids) -> color SUM over the
+    given samples, [len(ids), 3]; ids must be length-padded to a multiple
+    of mesh.shape["rays"].
+    """
+    depth = max_depth if max_depth is not None else camera.max_depth
+
+    def local_fn(scene_shard, key, sample_indices, ids):
+        return _trace_sample_sum_local(
+            scene_shard, key, sample_indices, ids, camera, depth
+        )
 
     smapped = shard_map(
         local_fn,
@@ -195,3 +223,61 @@ def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[in
         check_vma=False,
     )
     return jax.jit(smapped)
+
+
+def make_scene_sharded_grad_fn(mesh: Mesh, camera: Camera, max_depth: Optional[int] = None):
+    """(loss, scene-grads) over the FULL 2D mesh: rays data-parallel, scene
+    tensor-parallel over the sphere axis.  The backward runs through the
+    shard_map transpose: the all_gather of per-shard hits transposes to a
+    reduce-scatter of t-cotangents, and the masked param psum transposes to
+    the owning shard keeping its cotangent — each shard ends with the grads
+    of ITS spheres only (grads come back sharded like the scene).
+
+    Returns grad_fn(padded_scene, key, sample_indices, target) ->
+    (loss, grads dict sharded over the scene axis)."""
+    depth = max_depth if max_depth is not None else camera.max_depth
+    n_rays_axis = mesh.shape[RAYS_AXIS]
+    n_pix = camera.num_pixels
+    m = pad_to_multiple(n_pix, n_rays_axis)
+
+    def local_loss(params, scene_shard, key, sample_indices, ids, target, weight):
+        sc = scene_shard.replace(**params)
+        total = _trace_sample_sum_local(sc, key, sample_indices, ids, camera, depth)
+        img = total / sample_indices.shape[0]
+        se = jnp.sum((img - target) ** 2, axis=-1) * weight
+        # mean over ALL pixels: local sum + psum over the rays axis
+        return jax.lax.psum(jnp.sum(se), RAYS_AXIS) / (3.0 * n_pix)
+
+    smapped_loss = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS), P(SCENE_AXIS), P(), P(), P(RAYS_AXIS),
+                  P(RAYS_AXIS), P(RAYS_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    # differentiate OUTSIDE the shard_map: the shard_map transpose inserts
+    # the correct collectives (all_gather -> psum_scatter on the scene axis,
+    # the rays-axis grad reduction) — differentiating inside with
+    # check_vma=False over-counts because psum transposes to psum there
+    jitted = jax.jit(jax.value_and_grad(smapped_loss))
+
+    import numpy as np
+
+    ids = jnp.asarray(np.r_[np.arange(n_pix), np.zeros(m - n_pix)], jnp.int32)
+    weight = jnp.asarray(np.arange(m) < n_pix, jnp.float32)
+
+    def grad_fn(padded_scene: Scene, key, sample_indices, target):
+        tgt = jnp.zeros((m, 3), jnp.float32).at[:n_pix].set(
+            jnp.asarray(target).reshape(-1, 3)
+        )
+        params = {
+            "centers": padded_scene.centers,
+            "albedo": padded_scene.albedo,
+            "radii": padded_scene.radii,
+            "fuzz": padded_scene.fuzz,
+            "ior": padded_scene.ior,
+        }
+        return jitted(params, padded_scene, key, sample_indices, ids, tgt, weight)
+
+    return grad_fn

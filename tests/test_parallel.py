@@ -147,7 +147,8 @@ def test_closest_hit_sharded_matches_replicated():
 
 def test_scene_sharded_render_matches_replicated_trace():
     """Full 2D mesh (rays x scene): the sharded render must EXACTLY match a
-    replicated trace fed the same rays and keys."""
+    replicated trace fed the same rays and keys — now sample-BATCHED (the
+    sample axis is scanned inside the sharded program)."""
     scene, cam = scene_and_cam(width=32)
     mesh = make_mesh(n_rays=4, n_scene=2)
     padded = shard_scene(scene, 2)
@@ -156,21 +157,72 @@ def test_scene_sharded_render_matches_replicated_trace():
     n = cam.num_pixels  # 32x16 = 512, divisible by 4
     ids = jnp.arange(n, dtype=jnp.int32)
     key = jax.random.PRNGKey(7)
-    out = np.asarray(render(padded, key, jnp.int32(0), ids))
+    samples = jnp.arange(2, dtype=jnp.int32)
+    out = np.asarray(render(padded, key, samples, ids))
 
-    # replicated reference with the same per-shard key folding
+    # replicated reference with the same per-(sample, shard) key folding
     w = cam.image_width
     shard = n // 4
     ref = np.zeros((n, 3), np.float32)
-    for rshard in range(4):
-        k = jax.random.fold_in(jax.random.fold_in(key, 0), rshard)
-        k_cam, k_trace = jax.random.split(k)
-        tids = ids[rshard * shard : (rshard + 1) * shard]
-        o, d = generate_rays(cam, k_cam, tids % w, tids // w)
-        ref[rshard * shard : (rshard + 1) * shard] = np.asarray(
-            trace_rays(padded, o, d, k_trace, cam.max_depth)
-        )
-    np.testing.assert_allclose(out, ref, atol=2e-6)
+    for s in range(2):
+        for rshard in range(4):
+            k = jax.random.fold_in(jax.random.fold_in(key, s), rshard)
+            k_cam, k_trace = jax.random.split(k)
+            tids = ids[rshard * shard : (rshard + 1) * shard]
+            o, d = generate_rays(cam, k_cam, tids % w, tids // w)
+            ref[rshard * shard : (rshard + 1) * shard] += np.asarray(
+                trace_rays(padded, o, d, k_trace, cam.max_depth)
+            )
+    # identical draws; a handful of pixels amplify last-ulp FMA fusion
+    # differences through the bounce recursion
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_scene_sharded_grads_match_replicated():
+    """Gradients over the FULL 2D mesh: scene-sharded grads (which come
+    back sharded over the sphere axis) must match a single-device autodiff
+    of the same program."""
+    from distributed_raytracer_tpu.parallel import make_scene_sharded_grad_fn
+
+    scene, cam = scene_and_cam(width=32)
+    mesh = make_mesh(n_rays=4, n_scene=2)
+    padded = shard_scene(scene, 2)
+    grad_fn = make_scene_sharded_grad_fn(mesh, cam)
+    key = jax.random.PRNGKey(3)
+    samples = jnp.arange(2, dtype=jnp.int32)
+    target = np.zeros((cam.num_pixels, 3), np.float32)
+    loss, grads = grad_fn(padded, key, samples, target)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert np.any(np.asarray(grads["albedo"]) != 0)
+
+    # single-device reference: identical math, same key folding
+    n = cam.num_pixels
+    w = cam.image_width
+    ids = jnp.arange(n, dtype=jnp.int32)
+    shard = n // 4
+
+    def loss_ref(params):
+        sc = padded.replace(**params)
+        acc = jnp.zeros((n, 3), jnp.float32)
+        for s in range(2):
+            for rshard in range(4):
+                k = jax.random.fold_in(jax.random.fold_in(key, s), rshard)
+                k_cam, k_trace = jax.random.split(k)
+                tids = ids[rshard * shard : (rshard + 1) * shard]
+                o, d = generate_rays(cam, k_cam, tids % w, tids // w)
+                acc = acc.at[rshard * shard : (rshard + 1) * shard].add(
+                    trace_rays(sc, o, d, k_trace, cam.max_depth)
+                )
+        img = acc / 2
+        return jnp.sum(jnp.sum(img**2, axis=-1)) / (3.0 * n)
+
+    params0 = {k: getattr(padded, k) for k in ("centers", "albedo", "radii", "fuzz", "ior")}
+    loss_r, grads_r = jax.value_and_grad(loss_ref)(params0)
+    np.testing.assert_allclose(float(loss), float(loss_r), rtol=1e-5)
+    for k in grads:
+        a, b = np.asarray(grads[k]), np.asarray(grads_r[k])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4, err_msg=k)
 
 
 def test_gather_params_sharded_matches_gather():
