@@ -129,17 +129,25 @@ def build_culled_scene(
 
 
 def _culled_kernel(
+    order_ref,                                         # [n_blocks, C] SMEM (prefetch)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # [1, BR]
     cx_ref, cy_ref, cz_ref, r2_ref,                    # [CHUNK, 1] sphere block
     bx_ref, by_ref, bz_ref, br2_ref,                   # [C, 1] chunk bounds
     t_out, idx_out,                                     # [1, BR], revisited
     *, chunk: int, t_min: float,
 ):
-    """2D grid (ray blocks, chunks), chunk fastest: Pallas pipelines the
-    sphere-chunk DMAs; the occlusion-aware bound test gates the sweep with
-    @pl.when (compute skipped; the prefetch DMA still happens, which is the
-    right trade — it overlaps with other chunks' compute)."""
+    """2D grid (ray blocks, grid position), position fastest.  The chunk
+    actually visited at position j is order_ref[i, j] — a per-ray-block
+    FRONT-TO-BACK permutation (nearest chunks first, computed on device
+    from the block's mean ray), so t_best tightens early and the
+    occlusion-aware bound test (nearb < t_best) kills the far chunks.
+    This is the reference's front-to-back cell traversal with early
+    termination (ray_server.rs:56-60 + hittable_list.rs:42-55) in
+    block-SIMD form; Pallas still pipelines the (data-dependent) sphere
+    chunk DMAs via the scalar-prefetch index map."""
+    i = pl.program_id(0)
     ci = pl.program_id(1)
+    chunk_id = order_ref[i, ci]
 
     @pl.when(ci == 0)
     def _init():
@@ -154,10 +162,10 @@ def _culled_kernel(
 
     # chunk bounding-sphere test: can ANY ray hit the bound closer than its
     # current best?
-    bx = bx_ref[ci, 0]
-    by = by_ref[ci, 0]
-    bz = bz_ref[ci, 0]
-    br2v = br2_ref[ci, 0]
+    bx = bx_ref[chunk_id, 0]
+    by = by_ref[chunk_id, 0]
+    bz = bz_ref[chunk_id, 0]
+    br2v = br2_ref[chunk_id, 0]
     obx = bx - ox
     oby = by - oy
     obz = bz - oz
@@ -188,10 +196,30 @@ def _culled_kernel(
         far_ok = ok & (root_far > t_min)
         t = jnp.where(near_ok, root_near, jnp.where(far_ok, root_far, BIG))
         t_chunk = jnp.min(t, axis=0, keepdims=True)
-        i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + ci * chunk
+        i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + chunk_id * chunk
         better = t_chunk < t_best
         t_out[:] = jnp.where(better, t_chunk, t_best)
         idx_out[:] = jnp.where(better, i_chunk, idx_out[:])
+
+
+def _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br):
+    """Per-ray-block front-to-back chunk permutation [n_blocks, n_chunks].
+
+    Sort key = distance along the block's mean ray to each chunk's bound
+    center; always-swept chunks (inf bound, e.g. the ground sphere) go
+    FIRST so t_best tightens immediately for every ray."""
+    r = ray_o.shape[0]
+    pad = n_blocks * br - r
+    ob = jnp.pad(ray_o, ((0, pad), (0, 0))).reshape(n_blocks, br, 3)
+    db = jnp.pad(ray_d, ((0, pad), (0, 0))).reshape(n_blocks, br, 3)
+    o_mean = jnp.mean(ob, axis=1)                              # [B, 3]
+    d_mean = jnp.mean(db, axis=1)
+    d_mean = d_mean / (jnp.linalg.norm(d_mean, axis=-1, keepdims=True) + 1e-12)
+    rel = bounds_c[None, :, :] - o_mean[:, None, :]            # [B, C, 3]
+    proj = jnp.einsum("bcx,bx->bc", rel, d_mean)
+    dist = jnp.maximum(proj, 0.0)
+    dist = jnp.where(jnp.isfinite(bounds_r2)[None, :], dist, -1.0)
+    return jnp.argsort(dist, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "block_rays"))
@@ -206,6 +234,7 @@ def _culled_fwd(
     br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
     pad = (-r) % br
     rp = r + pad
+    n_blocks = rp // br
 
     def row(x):
         return jnp.pad(x, (0, pad)).reshape(1, rp)
@@ -223,24 +252,32 @@ def _culled_fwd(
         bounds_c[:, 2].reshape(n_chunks, 1),
         bounds_r2.reshape(n_chunks, 1),
     ]
+    order = _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br)
 
-    ray_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
-    scene_spec = pl.BlockSpec((chunk, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
-    bound_spec = pl.BlockSpec((n_chunks, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    # index maps take the scalar-prefetch ref: the sphere chunk streamed at
+    # grid position (i, j) is the j-th NEAREST chunk for ray block i
+    ray_spec = pl.BlockSpec((1, br), lambda i, j, ord_: (0, i), memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec(
+        (chunk, 1), lambda i, j, ord_: (ord_[i, j], 0), memory_space=pltpu.VMEM
+    )
+    bound_spec = pl.BlockSpec(
+        (n_chunks, 1), lambda i, j, ord_: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((1, br), lambda i, j, ord_: (0, i), memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
         functools.partial(_culled_kernel, chunk=chunk, t_min=T_MIN),
-        grid=(rp // br, n_chunks),
-        in_specs=[ray_spec] * 6 + [scene_spec] * 4 + [bound_spec] * 4,
-        out_specs=[
-            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks, n_chunks),
+            in_specs=[ray_spec] * 6 + [scene_spec] * 4 + [bound_spec] * 4,
+            out_specs=[out_spec, out_spec],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((1, rp), jnp.float32),
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
-    )(*rows, *srows, *brows)
+    )(order, *rows, *srows, *brows)
     return t[0, :r], idx[0, :r]
 
 

@@ -11,11 +11,16 @@ any backend is initialized.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    "--xla_force_host_platform_device_count=8 "
-    + os.environ.get("XLA_FLAGS", "")
-)
+if os.environ.get("DRAY_TPU_TESTS"):
+    # hardware tier (`pytest -m tpu`, scripts/run_tpu_tests.sh): keep the
+    # real backend; the CPU-only tests are deselected by the marker
+    import jax  # noqa: F401
+else:
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=8 "
+        + os.environ.get("XLA_FLAGS", "")
+    )
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
