@@ -77,19 +77,21 @@ def main():
             )
         return render_wavefront_sum(scene, camera, key, spp_bench, pool_size=65536)
 
-    # fwd+bwd: the path-replay tracer — recording forward scan + wavefront
-    # backward pool (O(total path length) instead of O(R * max_depth))
-    from distributed_raytracer_tpu.grad.pathgrad import make_pathgrad_tracer
+    # fwd+bwd: the reverse-tape wavefront tracer (grad/tapegrad.py) — a
+    # recording wavefront pool forward (fused bounce kernel on TPU) whose
+    # iteration tape the backward replays in reverse at identical trip
+    # count.  Pool/segsum from the round-2 hardware sweep
+    # (scripts/bench_tapegrad.py; docs/DESIGN.md).
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
     from distributed_raytracer_tpu.ops.intersect import closest_hit
 
-    tracer = make_pathgrad_tracer(
+    tracer = make_tape_tracer(
         jax.random.PRNGKey(1),
         depth,
-        pool_divisor=8,
+        pool=4096,
         intersect_fn=intersect if intersect else closest_hit,
-        # fused-bounce recording primal on TPU (one pallas_call per depth
-        # step: intersect + winner select + shade + RNG on-core)
-        primal="fused" if on_tpu else "scan",
+        use_fused=on_tpu,
+        segsum="matmul" if on_tpu else "scatter",
     )
 
     @jax.jit
