@@ -103,7 +103,12 @@ def main():
 
         return jax.value_and_grad(loss_fn)(params)
 
-    ids = jnp.arange(n_rays, dtype=jnp.int32) % camera.num_pixels
+    # strided pixel ids: rays spread over the WHOLE image so the bounce-depth
+    # mix matches a real render (round 1 used the first 65536 pixels — the
+    # top rows, which are mostly 1-bounce sky; that flattered rays/s)
+    ids = (jnp.arange(n_rays, dtype=jnp.int64) * camera.num_pixels // n_rays).astype(
+        jnp.int32
+    )
     key = jax.random.PRNGKey(0)
     # primary-ray generation is not differentiated (camera pose fixed in this
     # benchmark) — keep it out of the timed grad program

@@ -136,6 +136,8 @@ class InverseRenderer:
         seed: int = 0,
         tile_size: int = DEFAULT_TILE,
         optimizer: Optional[optax.GradientTransformation] = None,
+        engine: str = "scan",
+        pool: int = 4096,
     ):
         self.scene = scene
         self.camera = camera
@@ -149,11 +151,40 @@ class InverseRenderer:
         self._opt_state = self.opt.init(self._params)
         self._step = 0
 
-        def loss_fn(params, scene, key, s):
-            img = render_diff(
-                scene.replace(**params), self.camera, key, s, self.tile_size
+        if engine == "tape":
+            # reverse-tape wavefront gradients (grad/tapegrad.py) — the
+            # fast fwd+bwd path; fused bounce kernel when on TPU
+            from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+            from distributed_raytracer_tpu.ops.camera import generate_rays
+
+            on_tpu = jax.devices()[0].platform != "cpu"
+            tracer = make_tape_tracer(
+                jax.random.PRNGKey(seed + 1), camera.max_depth, pool=pool,
+                use_fused=on_tpu, segsum="matmul" if on_tpu else "scatter",
             )
-            return image_loss(img, self.target)
+            n_pix = camera.num_pixels
+            w = camera.image_width
+            ids = jnp.arange(n_pix, dtype=jnp.int32)
+
+            def loss_fn(params, scene, key, s):
+                s2 = scene.replace(**params)
+
+                def one(acc, si):
+                    k = jax.random.fold_in(key, si)
+                    k_cam, k_trace = jax.random.split(k)
+                    o, d = generate_rays(self.camera, k_cam, ids % w, ids // w)
+                    return acc + tracer(s2, o, d, k_trace), None
+
+                acc, _ = jax.lax.scan(one, jnp.zeros((n_pix, 3), jnp.float32), s)
+                return image_loss(acc / s.shape[0], self.target)
+
+        else:
+
+            def loss_fn(params, scene, key, s):
+                img = render_diff(
+                    scene.replace(**params), self.camera, key, s, self.tile_size
+                )
+                return image_loss(img, self.target)
 
         self._vg = jax.jit(jax.value_and_grad(loss_fn))
 

@@ -85,7 +85,12 @@ def main():
 
     def workload(n_rays):
         if n_rays not in workloads:
-            ids = jnp.arange(n_rays, dtype=jnp.int32) % camera.num_pixels
+            # STRIDED pixel ids: spread the rays over the whole image so the
+            # bounce-depth mix matches a real render (the round-1 workload
+            # used the first 65536 pixels = the top rows = mostly sky)
+            ids = (
+                jnp.arange(n_rays, dtype=jnp.int64) * camera.num_pixels // n_rays
+            ).astype(jnp.int32)
             ray_o, ray_d = jax.block_until_ready(
                 jax.jit(lambda k: generate_rays(camera, k, ids % w, ids // w))(
                     jax.random.PRNGKey(0)

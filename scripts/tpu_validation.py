@@ -1,4 +1,5 @@
-import time, sys
+import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from distributed_raytracer_tpu.models.presets import rtiow_final_scene, final_scene_camera, random_sphere_field
 from distributed_raytracer_tpu.ops.intersect import closest_hit
