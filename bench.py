@@ -105,9 +105,13 @@ def main():
 
     # strided pixel ids: rays spread over the WHOLE image so the bounce-depth
     # mix matches a real render (round 1 used the first 65536 pixels — the
-    # top rows, which are mostly 1-bounce sky; that flattered rays/s)
-    ids = (jnp.arange(n_rays, dtype=jnp.int64) * camera.num_pixels // n_rays).astype(
-        jnp.int32
+    # top rows, which are mostly 1-bounce sky; that flattered rays/s).
+    # NOTE: host-side int64 — jnp would silently truncate to int32 and the
+    # product overflows.
+    import numpy as np
+
+    ids = jnp.asarray(
+        np.arange(n_rays, dtype=np.int64) * camera.num_pixels // n_rays, jnp.int32
     )
     key = jax.random.PRNGKey(0)
     # primary-ray generation is not differentiated (camera pose fixed in this

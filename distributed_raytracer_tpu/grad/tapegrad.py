@@ -56,19 +56,60 @@ from distributed_raytracer_tpu.ops.intersect import closest_hit
 
 
 class _Tape(NamedTuple):
-    """Per-pool-iteration records, [T, B, ...]."""
+    """Per-pool-iteration records, PACKED into two arrays so each forward
+    iteration issues 2 dynamic-update-slices instead of 11 (per-op
+    dispatch overhead inside the while_loop was a measurable fraction of
+    the per-iteration cost at small pools).
 
-    o: jnp.ndarray         # [T,B,3] lane state entering the bounce (post-refill)
-    d: jnp.ndarray         # [T,B,3]
-    atten: jnp.ndarray     # [T,B,3]
-    idx: jnp.ndarray       # [T,B] i32 winning sphere (junk when !hit)
-    lane_ray: jnp.ndarray  # [T,B] i32 global ray id held by the lane
-    hit: jnp.ndarray       # [T,B] bool (masked by live)
-    live: jnp.ndarray      # [T,B] bool lane held an active ray this iteration
-    take: jnp.ndarray      # [T,B] bool lane was refilled this iteration
-    finished: jnp.ndarray  # [T,B] bool ray emitted its color this iteration
-    ruv: jnp.ndarray       # [T,B,3] unit-vector draw used
-    u: jnp.ndarray         # [T,B] uniform draw used
+    fdata columns: o(0:3) d(3:6) atten(6:9) ruv(9:12) u(12)
+    idata columns: idx(0) lane_ray(1) flags(2) = hit | live<<1 | take<<2
+                   | finished<<3
+    """
+
+    fdata: jnp.ndarray  # [T, B, 13] float
+    idata: jnp.ndarray  # [T, B, 3] int32
+
+
+class _Rec(NamedTuple):
+    """One unpacked tape row, [B, ...]."""
+
+    o: jnp.ndarray
+    d: jnp.ndarray
+    atten: jnp.ndarray
+    idx: jnp.ndarray
+    lane_ray: jnp.ndarray
+    hit: jnp.ndarray
+    live: jnp.ndarray
+    take: jnp.ndarray
+    finished: jnp.ndarray
+    ruv: jnp.ndarray
+    u: jnp.ndarray
+
+
+def _pack_rec(rec: _Rec):
+    f = jnp.concatenate(
+        [rec.o, rec.d, rec.atten, rec.ruv, rec.u[:, None]], axis=-1
+    )
+    flags = (
+        rec.hit.astype(jnp.int32)
+        | (rec.live.astype(jnp.int32) << 1)
+        | (rec.take.astype(jnp.int32) << 2)
+        | (rec.finished.astype(jnp.int32) << 3)
+    )
+    i = jnp.stack([rec.idx, rec.lane_ray, flags], axis=-1)
+    return f, i
+
+
+def _unpack_rec(f: jnp.ndarray, i: jnp.ndarray) -> _Rec:
+    flags = i[:, 2]
+    return _Rec(
+        o=f[:, 0:3], d=f[:, 3:6], atten=f[:, 6:9], ruv=f[:, 9:12], u=f[:, 12],
+        idx=i[:, 0], lane_ray=i[:, 1],
+        hit=(flags & 1) != 0,
+        live=(flags & 2) != 0,
+        take=(flags & 4) != 0,
+        finished=(flags & 8) != 0,
+    )
 
 
 def tape_budget(n_rays: int, max_depth: int, pool: int) -> int:
@@ -109,12 +150,9 @@ def _forward_tape(
         seed_base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
 
     ft = ray_o.dtype  # f32 in production; f64 under x64 oracle checks
-    z2 = lambda tail, dt: jnp.zeros((t_budget, b) + tail, dt)
     tape0 = _Tape(
-        o=z2((3,), ft), d=z2((3,), ft), atten=z2((3,), ft),
-        idx=z2((), jnp.int32), lane_ray=z2((), jnp.int32),
-        hit=z2((), bool), live=z2((), bool), take=z2((), bool), finished=z2((), bool),
-        ruv=z2((3,), ft), u=z2((), ft),
+        fdata=jnp.zeros((t_budget, b, 13), ft),
+        idata=jnp.zeros((t_budget, b, 3), jnp.int32),
     )
 
     def body(carry):
@@ -162,14 +200,14 @@ def _forward_tape(
         lane_depth2 = lane_depth + live.astype(jnp.int32)
         exhausted = keep & (lane_depth2 >= max_depth)
 
-        # --- record this iteration (sequential in-place slice write) ---
-        rec = _Tape(
+        # --- record this iteration (2 sequential in-place slice writes) ---
+        rec_f, rec_i = _pack_rec(_Rec(
             o=o, d=d, atten=atten, idx=idx, lane_ray=lane_ray,
             hit=hit, live=live, take=take, finished=fin, ruv=ruv, u=u,
-        )
-        tape = jax.tree.map(
-            lambda arr, v: jax.lax.dynamic_update_index_in_dim(arr, v, it, 0),
-            tape, rec,
+        ))
+        tape = _Tape(
+            fdata=jax.lax.dynamic_update_index_in_dim(tape.fdata, rec_f, it, 0),
+            idata=jax.lax.dynamic_update_index_in_dim(tape.idata, rec_i, it, 0),
         )
 
         # --- drain: finished lanes store color by unique global ray id ---
@@ -225,14 +263,15 @@ def _backward_tape(
     random-index scatters).
     """
     r = g_color.shape[0]
-    b = tape.u.shape[1]
+    b = tape.fdata.shape[1]
     n = scene.num_spheres
 
     def body(carry):
         (it, cot_o, cot_d, cot_at, g_pm, g_ray_o, g_ray_d) = carry
         it = it - 1
-        rec = jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, it, 0, keepdims=False), tape
+        rec = _unpack_rec(
+            jax.lax.dynamic_index_in_dim(tape.fdata, it, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(tape.idata, it, 0, keepdims=False),
         )
 
         # color cotangent enters where the ray finished
@@ -278,7 +317,7 @@ def _backward_tape(
     def cond(carry):
         return carry[0] > 0
 
-    ft = tape.o.dtype
+    ft = tape.fdata.dtype
     carry0 = (
         n_it,
         jnp.zeros((b, 3), ft),
@@ -306,10 +345,11 @@ def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int):
     (take/idx/hit/live/finished) and draws frozen — differentiable by
     jax.grad; the ORACLE for `_backward_tape` (exact-match test)."""
     r = ray_o.shape[0]
-    b = tape.u.shape[1]
+    b = tape.fdata.shape[1]
 
-    def step(carry, rec):
+    def step(carry, packed):
         o, d, atten, out = carry
+        rec = _unpack_rec(*packed)
         tk = rec.take[:, None]
         nr = jnp.clip(rec.lane_ray, 0, r - 1)
         o = jnp.where(tk, ray_o[nr], o)
@@ -326,8 +366,8 @@ def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int):
         out = out.at[slot].set(contrib, mode="drop", unique_indices=True)
         return (o2, d2, atten2, out), None
 
-    sl = jax.tree.map(lambda a: a[:n_iters], tape)
-    ft = tape.o.dtype
+    sl = (tape.fdata[:n_iters], tape.idata[:n_iters])
+    ft = tape.fdata.dtype
     carry0 = (
         jnp.zeros((b, 3), ft),
         jnp.ones((b, 3), ft),

@@ -134,7 +134,8 @@ def _culled_kernel(
     cx_ref, cy_ref, cz_ref, r2_ref,                    # [CHUNK, 1] sphere block
     bx_ref, by_ref, bz_ref, br2_ref,                   # [C, 1] chunk bounds
     t_out, idx_out,                                     # [1, BR], revisited
-    *, chunk: int, t_min: float,
+    *stats_out,                                         # optional [1, BR] sweep count
+    chunk: int, t_min: float,
 ):
     """2D grid (ray blocks, grid position), position fastest.  The chunk
     actually visited at position j is order_ref[i, j] — a per-ray-block
@@ -153,6 +154,8 @@ def _culled_kernel(
     def _init():
         t_out[:] = jnp.full_like(t_out, BIG)
         idx_out[:] = jnp.zeros_like(idx_out)
+        for s in stats_out:
+            s[:] = jnp.zeros_like(s)
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -181,6 +184,8 @@ def _culled_kernel(
 
     @pl.when(any_hit)
     def _sweep():
+        for s in stats_out:
+            s[:] = s[:] + 1
         cx, cy, cz, r2 = cx_ref[:], cy_ref[:], cz_ref[:], r2_ref[:]
         ocx = cx - ox
         ocy = cy - oy
@@ -222,11 +227,11 @@ def _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br):
     return jnp.argsort(dist, axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "block_rays"))
+@functools.partial(jax.jit, static_argnames=("chunk", "block_rays", "stats"))
 def _culled_fwd(
     ray_o, ray_d, scene: Scene, bounds_c, bounds_r2, chunk: int,
-    block_rays: int = DEFAULT_BR,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    block_rays: int = DEFAULT_BR, stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     r = ray_o.shape[0]
     n = scene.num_spheres
     assert n % chunk == 0, (n, chunk)
@@ -265,19 +270,25 @@ def _culled_fwd(
     )
     out_spec = pl.BlockSpec((1, br), lambda i, j, ord_: (0, i), memory_space=pltpu.VMEM)
 
-    t, idx = pl.pallas_call(
+    n_out = 3 if stats else 2
+    outs = pl.pallas_call(
         functools.partial(_culled_kernel, chunk=chunk, t_min=T_MIN),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks, n_chunks),
             in_specs=[ray_spec] * 6 + [scene_spec] * 4 + [bound_spec] * 4,
-            out_specs=[out_spec, out_spec],
+            out_specs=[out_spec] * n_out,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((1, rp), jnp.float32),
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((1, rp), jnp.int32)] if stats else []),
     )(order, *rows, *srows, *brows)
+    if stats:
+        t, idx, nsweep = outs
+        # one count per ray block (every lane carries the same value)
+        return t[0, :r], idx[0, :r], nsweep[0, ::br]
+    t, idx = outs
     return t[0, :r], idx[0, :r]
 
 

@@ -88,9 +88,12 @@ def main():
             # STRIDED pixel ids: spread the rays over the whole image so the
             # bounce-depth mix matches a real render (the round-1 workload
             # used the first 65536 pixels = the top rows = mostly sky)
-            ids = (
-                jnp.arange(n_rays, dtype=jnp.int64) * camera.num_pixels // n_rays
-            ).astype(jnp.int32)
+            import numpy as _np
+
+            ids = jnp.asarray(
+                _np.arange(n_rays, dtype=_np.int64) * camera.num_pixels // n_rays,
+                jnp.int32,
+            )
             ray_o, ray_d = jax.block_until_ready(
                 jax.jit(lambda k: generate_rays(camera, k, ids % w, ids // w))(
                     jax.random.PRNGKey(0)
