@@ -292,17 +292,203 @@ def _culled_fwd(
     return t[0, :r], idx[0, :r]
 
 
-def make_culled_intersect(culled: CulledScene, block_rays: int = DEFAULT_BR):
+def _walk_kernel(
+    order_ref,                                        # [n_blocks, C] SMEM (prefetch)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [1, BR] VMEM
+    bx_ref, by_ref, bz_ref, br2_ref,                  # [C, 1] VMEM chunk bounds
+    scene_ref,                                        # [N, 4] HBM (cx cy cz r2)
+    t_out, idx_out,                                   # [1, BR] VMEM
+    buf, sem,                                         # scratch: [2, chunk, 4] VMEM, DMA((2,))
+    *, chunk: int, n_chunks: int, t_min: float,
+):
+    """In-kernel front-to-back chunk WALK: grid = (ray blocks,) only.
+
+    The 2D-grid culled kernel pays Mosaic's per-grid-cell orchestration
+    for every (block, chunk) pair whether or not the chunk is swept — at
+    8k spheres that fixed cost is ~2/3 of runtime, capping any possible
+    culling win at ~1.4x (measured; scripts/culled_probe.py).  Here the
+    chunk loop runs INSIDE the kernel: per ray block, walk chunks in the
+    prefetched front-to-back order, test the chunk bound against the
+    block's current best-t, and only when some ray can still hit it DMA
+    the 2 KB sphere chunk from HBM (double-buffered: chunk j+1's copy is
+    started, gated on ITS bound test, before chunk j is swept) and sweep.
+    A culled chunk costs one ~20-op bound test — no DMA, no sweep, no
+    grid-cell overhead.  This is the reference's front-to-back traversal
+    with early termination (ray_server.rs:56-60, hittable_list.rs:42-55)
+    as one persistent kernel per ray block."""
+    i = pl.program_id(0)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+
+    def bound_possible(chunk_id, t_best):
+        bx = bx_ref[chunk_id, 0]
+        by = by_ref[chunk_id, 0]
+        bz = bz_ref[chunk_id, 0]
+        br2v = br2_ref[chunk_id, 0]
+        obx = bx - ox
+        oby = by - oy
+        obz = bz - oz
+        hb = dx * obx + dy * oby + dz * obz
+        cb = obx * obx + oby * oby + obz * obz - br2v
+        discb = hb * hb - a * cb
+        okb = discb >= 0.0
+        sq = jnp.sqrt(jnp.where(okb, discb, 0.0))
+        nearb = (hb - sq) * inv_a
+        farb = (hb + sq) * inv_a
+        possible = okb & (farb > t_min) & (nearb < t_best)
+        return jnp.any(possible) | ~jnp.isfinite(br2v)
+
+    def start_dma(slot, chunk_id):
+        pltpu.make_async_copy(
+            scene_ref.at[pl.ds(chunk_id * chunk, chunk), :],
+            buf.at[slot],
+            sem.at[slot],
+        ).start()
+
+    t_out[:] = jnp.full_like(t_out, BIG)
+    idx_out[:] = jnp.zeros_like(idx_out)
+
+    first_id = order_ref[i, 0]
+    poss0 = bound_possible(first_id, t_out[:])
+
+    @pl.when(poss0)
+    def _():
+        start_dma(0, first_id)
+
+    def step(j, started):
+        # running best-t lives in the output refs: pl.when bodies can only
+        # communicate through ref effects
+        chunk_id = order_ref[i, j]
+
+        # gate + launch chunk j+1's copy before sweeping j (double buffer)
+        nxt = order_ref[i, jnp.minimum(j + 1, n_chunks - 1)]
+        start_next = (j + 1 < n_chunks) & bound_possible(nxt, t_out[:])
+
+        @pl.when(start_next)
+        def _():
+            start_dma((j + 1) % 2, nxt)
+
+        @pl.when(started)
+        def _():
+            slot = j % 2
+            pltpu.make_async_copy(
+                scene_ref.at[pl.ds(chunk_id * chunk, chunk), :],
+                buf.at[slot],
+                sem.at[slot],
+            ).wait()
+            cx = buf[slot, :, 0:1]
+            cy = buf[slot, :, 1:2]
+            cz = buf[slot, :, 2:3]
+            r2 = buf[slot, :, 3:4]
+            ocx = cx - ox
+            ocy = cy - oy
+            ocz = cz - oz
+            h = dx * ocx + dy * ocy + dz * ocz
+            c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            disc = h * h - a * c_q
+            ok = disc >= 0.0
+            sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
+            rn = (h - sqrtd) * inv_a
+            rf = (h + sqrtd) * inv_a
+            t = jnp.where(
+                ok & (rn > t_min), rn, jnp.where(ok & (rf > t_min), rf, BIG)
+            )
+            t_chunk = jnp.min(t, axis=0, keepdims=True)
+            i_chunk = (
+                jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + chunk_id * chunk
+            )
+            t_best = t_out[:]
+            better = t_chunk < t_best
+            t_out[:] = jnp.where(better, t_chunk, t_best)
+            idx_out[:] = jnp.where(better, i_chunk, idx_out[:])
+
+        return start_next
+
+    jax.lax.fori_loop(0, n_chunks, step, poss0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "block_rays"))
+def _culled_walk_fwd(
+    ray_o, ray_d, scene: Scene, bounds_c, bounds_r2, chunk: int,
+    block_rays: int = DEFAULT_BR,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r = ray_o.shape[0]
+    n = scene.num_spheres
+    assert n % chunk == 0, (n, chunk)
+    n_chunks = n // chunk
+    br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
+    pad = (-r) % br
+    rp = r + pad
+    n_blocks = rp // br
+
+    def row(x):
+        return jnp.pad(x, (0, pad)).reshape(1, rp)
+
+    rows = [row(ray_o[:, i]) for i in range(3)] + [row(ray_d[:, i]) for i in range(3)]
+    r2 = jnp.where(scene.radii > 0.0, scene.radii * scene.radii, -1.0)
+    scene_pack = jnp.stack(
+        [scene.centers[:, 0], scene.centers[:, 1], scene.centers[:, 2], r2],
+        axis=-1,
+    )  # [N, 4] — one 2 KB DMA per chunk
+    brows = [
+        bounds_c[:, 0].reshape(n_chunks, 1),
+        bounds_c[:, 1].reshape(n_chunks, 1),
+        bounds_c[:, 2].reshape(n_chunks, 1),
+        bounds_r2.reshape(n_chunks, 1),
+    ]
+    order = _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br)
+
+    ray_spec = pl.BlockSpec((1, br), lambda i, ord_: (0, i), memory_space=pltpu.VMEM)
+    bound_spec = pl.BlockSpec(
+        (n_chunks, 1), lambda i, ord_: (0, 0), memory_space=pltpu.VMEM
+    )
+    scene_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; manual DMA
+    out_spec = pl.BlockSpec((1, br), lambda i, ord_: (0, i), memory_space=pltpu.VMEM)
+
+    t, idx = pl.pallas_call(
+        functools.partial(
+            _walk_kernel, chunk=chunk, n_chunks=n_chunks, t_min=T_MIN
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[ray_spec] * 6 + [bound_spec] * 4 + [scene_spec],
+            out_specs=[out_spec, out_spec],
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk, 4), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        ],
+    )(order, *rows, *brows, scene_pack)
+    return t[0, :r], idx[0, :r]
+
+
+def make_culled_intersect(
+    culled: CulledScene, block_rays: int = DEFAULT_BR, mode: str = "walk"
+):
     """intersect_fn for ops/trace: closest hit via the block-culled sweep.
+
+    mode="walk" (default): in-kernel front-to-back chunk walk with
+    double-buffered manual DMA — culled chunks cost one bound test.
+    mode="grid": the 2D-grid variant (every chunk is a grid cell; compute
+    skipped under @pl.when but per-cell overhead still paid).
 
     The trace must be run with culled.scene (the reordered scene) so that
     material gathers see the same sphere order.  Differentiation uses the
     same winner-only custom VJP as the dense kernel."""
     from distributed_raytracer_tpu.ops.pallas.intersect_kernel import _bwd as _dense_bwd
 
+    fwd_impl = _culled_walk_fwd if mode == "walk" else _culled_fwd
+
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def intersect(ray_o, ray_d, scene):
-        t, idx = _culled_fwd(
+        t, idx = fwd_impl(
             ray_o, ray_d, scene, culled.bounds_c, culled.bounds_r2,
             culled.chunk, block_rays,
         )

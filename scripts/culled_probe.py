@@ -25,6 +25,7 @@ from distributed_raytracer_tpu.models.presets import random_sphere_field
 from distributed_raytracer_tpu.ops.camera import generate_rays, make_camera
 from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
     _culled_fwd,
+    _culled_walk_fwd,
     build_culled_scene,
 )
 from distributed_raytracer_tpu.ops.pallas.intersect_kernel import closest_hit_pallas
@@ -111,6 +112,29 @@ def main():
         )
         t_skip = timed(f_skip, o, d)
         print(f"  all-culled lower bound br={br}: {t_skip*1e3:.2f} ms", flush=True)
+
+        # in-kernel front-to-back WALK (manual double-buffered DMA)
+        f_walk = jax.jit(
+            lambda o, d, br=br: _culled_walk_fwd(
+                o, d, culled.scene, culled.bounds_c, culled.bounds_r2,
+                culled.chunk, block_rays=br,
+            )
+        )
+        t_walk = timed(f_walk, o, d)
+        tw, iw = jax.block_until_ready(f_walk(o, d))
+        okw = (np.asarray(iw)[h] == np.asarray(r1.idx)[h]).mean()
+        f_walk0 = jax.jit(
+            lambda o, d, br=br: _culled_walk_fwd(
+                o, d, culled.scene, culled.bounds_c, zero_r2,
+                culled.chunk, block_rays=br,
+            )
+        )
+        t_walk0 = timed(f_walk0, o, d)
+        print(
+            f"  WALK br={br}: {t_walk*1e3:.2f} ms  speedup {t_dense/t_walk:.2f}x"
+            f"  idx={okw:.4f}  (all-culled floor {t_walk0*1e3:.2f} ms)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

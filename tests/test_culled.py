@@ -37,9 +37,10 @@ def test_reorder_preserves_sphere_multiset(culled_setup):
     np.testing.assert_allclose(sig(scene), sig(culled.scene), rtol=1e-6)
 
 
-def test_matches_dense(culled_setup):
+@pytest.mark.parametrize("mode", ["grid", "walk"])
+def test_matches_dense(culled_setup, mode):
     _, culled, o, d = culled_setup
-    fn = make_culled_intersect(culled)
+    fn = make_culled_intersect(culled, mode=mode)
     ref = closest_hit(o, d, culled.scene)
     with pltpu.force_tpu_interpret_mode():
         got = fn(o, d, culled.scene)
