@@ -149,6 +149,12 @@ def _forward_tape(
 
         seed_base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
 
+    # component-planar ray inputs: gathering [B] rows out of an [R,3]
+    # array fights XLA's tiled row layout; six 1-D gathers are cheap
+    rays_p = tuple(ray_o[:, c] for c in range(3)) + tuple(
+        ray_d[:, c] for c in range(3)
+    )
+
     ft = ray_o.dtype  # f32 in production; f64 under x64 oracle checks
     tape0 = _Tape(
         fdata=jnp.zeros((t_budget, b, 13), ft),
@@ -165,8 +171,10 @@ def _forward_tape(
         take = free & (rank < remaining)
         nr = jnp.clip(emitted + jnp.where(take, rank, 0), 0, r - 1)
         tk = take[:, None]
-        o = jnp.where(tk, ray_o[nr], o)
-        d = jnp.where(tk, ray_d[nr], d)
+        new_o = jnp.stack([rays_p[c][nr] for c in range(3)], axis=-1)
+        new_d = jnp.stack([rays_p[3 + c][nr] for c in range(3)], axis=-1)
+        o = jnp.where(tk, new_o, o)
+        d = jnp.where(tk, new_d, d)
         atten = jnp.where(tk, 1.0, atten)
         lane_ray = jnp.where(take, nr, lane_ray)
         lane_depth = jnp.where(take, 0, lane_depth)
@@ -210,9 +218,13 @@ def _forward_tape(
             idata=jax.lax.dynamic_update_index_in_dim(tape.idata, rec_i, it, 0),
         )
 
-        # --- drain: finished lanes store color by unique global ray id ---
+        # --- drain: finished lanes store color by unique global ray id
+        # (component-planar: three 1-D scatters) ---
         slot = jnp.where(fin, lane_ray, r + 1)
-        out = out.at[slot].set(contrib, mode="drop", unique_indices=True)
+        out = tuple(
+            out[c].at[slot].set(contrib[:, c], mode="drop", unique_indices=True)
+            for c in range(3)
+        )
         live2 = keep & ~exhausted
         return (o2, d2, atten2, lane_ray, lane_depth2, live2, emitted, out,
                 tape, it + 1)
@@ -229,12 +241,13 @@ def _forward_tape(
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool),
         jnp.asarray(0, jnp.int32),
-        jnp.zeros((r + 2, 3), ft),
+        tuple(jnp.zeros((r + 2,), ft) for _ in range(3)),
         tape0,
         jnp.asarray(0, jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, carry0)
-    color, tape, n_it = out[7][:r], out[8], out[9]
+    planes, tape, n_it = out[7], out[8], out[9]
+    color = jnp.stack([p[:r] for p in planes], axis=-1)
     return color, tape, n_it
 
 
@@ -265,6 +278,9 @@ def _backward_tape(
     r = g_color.shape[0]
     b = tape.fdata.shape[1]
     n = scene.num_spheres
+    # component-planar g_color: 1-D gathers instead of [B]-row gathers
+    # from a tiled [R,3] layout
+    g_color_p = tuple(g_color[:, c] for c in range(3))
 
     def body(carry):
         (it, cot_o, cot_d, cot_at, g_pm, g_ray_o, g_ray_d) = carry
@@ -275,9 +291,9 @@ def _backward_tape(
         )
 
         # color cotangent enters where the ray finished
-        cot_c = jnp.where(
-            rec.finished[:, None], g_color[jnp.clip(rec.lane_ray, 0, r - 1)], 0.0
-        )
+        lr = jnp.clip(rec.lane_ray, 0, r - 1)
+        gcol = jnp.stack([g_color_p[c][lr] for c in range(3)], axis=-1)
+        cot_c = jnp.where(rec.finished[:, None], gcol, 0.0)
 
         params = _gather_params(scene, rec.idx, rec.hit)
         _, vjp = jax.vjp(
@@ -307,8 +323,14 @@ def _backward_tape(
         # refill backward: ray born here -> emit primary cotangent, cut carry
         tk = rec.take[:, None]
         slot = jnp.where(rec.take, rec.lane_ray, r + 1)
-        g_ray_o = g_ray_o.at[slot].set(d_o, mode="drop", unique_indices=True)
-        g_ray_d = g_ray_d.at[slot].set(d_d, mode="drop", unique_indices=True)
+        g_ray_o = tuple(
+            g_ray_o[c].at[slot].set(d_o[:, c], mode="drop", unique_indices=True)
+            for c in range(3)
+        )
+        g_ray_d = tuple(
+            g_ray_d[c].at[slot].set(d_d[:, c], mode="drop", unique_indices=True)
+            for c in range(3)
+        )
         cot_o = jnp.where(tk, 0.0, d_o)
         cot_d = jnp.where(tk, 0.0, d_d)
         cot_at = jnp.where(tk, 0.0, d_at)
@@ -324,8 +346,8 @@ def _backward_tape(
         jnp.zeros((b, 3), ft),
         jnp.zeros((b, 3), ft),
         jnp.zeros((n + 1, 9), ft),
-        jnp.zeros((r + 2, 3), ft),
-        jnp.zeros((r + 2, 3), ft),
+        tuple(jnp.zeros((r + 2,), ft) for _ in range(3)),
+        tuple(jnp.zeros((r + 2,), ft) for _ in range(3)),
     )
     (_, _, _, _, g_pm, g_ray_o, g_ray_d) = jax.lax.while_loop(cond, body, carry0)
 
@@ -337,7 +359,9 @@ def _backward_tape(
         fuzz=g_pm[:n, 7],
         ior=g_pm[:n, 8],
     )
-    return d_scene, g_ray_o[:r], g_ray_d[:r]
+    g_o = jnp.stack([c[:r] for c in g_ray_o], axis=-1)
+    g_d = jnp.stack([c[:r] for c in g_ray_d], axis=-1)
+    return d_scene, g_o, g_d
 
 
 def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int):

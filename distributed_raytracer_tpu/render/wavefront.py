@@ -102,7 +102,11 @@ def render_wavefront_sum(
         finished = was_active & ~st2.active        # wrote a color this bounce
         exhausted = st2.active & (depth >= max_depth)  # depth out -> black
         slot = jnp.where(finished, lane_ray, total)    # non-finished: dropped
-        out = out.at[slot].set(st2.color, mode="drop", unique_indices=True)
+        # component-planar drain (see render_wavefront_sum_fused)
+        out = tuple(
+            out[c].at[slot].set(st2.color[:, c], mode="drop", unique_indices=True)
+            for c in range(3)
+        )
         st3 = st2._replace(active=st2.active & ~exhausted)
         return st3, lane_ray, depth, emitted, out, it + 1
 
@@ -122,12 +126,13 @@ def render_wavefront_sum(
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.asarray(0, jnp.int32),
-        jnp.zeros((total, 3), jnp.float32),  # per-ray color buffer
+        tuple(jnp.zeros((total + 1,), jnp.float32) for _ in range(3)),
         jnp.asarray(0, jnp.int32),
     )
     *_, out, _ = jax.lax.while_loop(cond, body, carry0)
     # per-ray -> per-pixel: ray_idx = sample * n_pix + pixel (sample-major)
-    return jnp.sum(out.reshape(spp, n_pix, 3), axis=0)
+    planes = [jnp.sum(c[:total].reshape(spp, n_pix), axis=0) for c in out]
+    return jnp.stack(planes, axis=-1)
 
 
 def render_wavefront_sum_fused(
@@ -189,10 +194,16 @@ def render_wavefront_sum_fused(
         keep = live & ~fin
         exhausted = keep & (depth >= max_depth)
 
-        # drain: final color = carried attenuation * bounce terminal color
+        # drain: final color = carried attenuation * bounce terminal color.
+        # COMPONENT-PLANAR buffers: scattering [B,3] rows into an
+        # [total,3] array hits XLA's tiled row layout and costs ~4x the
+        # bounce kernel itself (profiled, docs/DESIGN.md §2); three 1-D
+        # scatters into linear f32 buffers are cheap.
         slot = jnp.where(fin, lane_ray, total)
-        out = out.at[slot].set(
-            atten * res.color, mode="drop", unique_indices=True
+        color = atten * res.color
+        out = tuple(
+            out[c].at[slot].set(color[:, c], mode="drop", unique_indices=True)
+            for c in range(3)
         )
         o = jnp.where(keep[:, None], res.new_o, o)
         d = jnp.where(keep[:, None], res.new_d, d)
@@ -212,11 +223,12 @@ def render_wavefront_sum_fused(
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool),
         jnp.asarray(0, jnp.int32),
-        jnp.zeros((total, 3), jnp.float32),
+        tuple(jnp.zeros((total + 1,), jnp.float32) for _ in range(3)),
         jnp.asarray(0, jnp.int32),
     )
     *_, out, _ = jax.lax.while_loop(cond, body, carry0)
-    return jnp.sum(out.reshape(spp, n_pix, 3), axis=0)
+    planes = [jnp.sum(c[:total].reshape(spp, n_pix), axis=0) for c in out]
+    return jnp.stack(planes, axis=-1)
 
 
 @functools.partial(

@@ -131,6 +131,10 @@ def ref_phase():
 
 
 if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if "--ref-only" not in sys.argv:
         tpu_phase()
     if "--tpu-only" not in sys.argv:
