@@ -431,7 +431,10 @@ def _culled_walk_fwd(
     scene_pack = jnp.stack(
         [scene.centers[:, 0], scene.centers[:, 1], scene.centers[:, 2], r2],
         axis=-1,
-    )  # [N, 4] — one 2 KB DMA per chunk
+    )  # [N, 4]
+    # pad the minor dim to the 128-lane tile: HBM memrefs keep lane tiling
+    # and Mosaic rejects 4-lane DMA slices
+    scene_pack = jnp.pad(scene_pack, ((0, 0), (0, LANE - 4)))
     brows = [
         bounds_c[:, 0].reshape(n_chunks, 1),
         bounds_c[:, 1].reshape(n_chunks, 1),
@@ -444,7 +447,9 @@ def _culled_walk_fwd(
     bound_spec = pl.BlockSpec(
         (n_chunks, 1), lambda i, ord_: (0, 0), memory_space=pltpu.VMEM
     )
-    scene_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; manual DMA
+    # HBM explicitly: pl.ANY promotes a fitting array to VMEM, where the
+    # tiled layout rejects the [chunk, 4] DMA slice (lane dim 4 != 128)
+    scene_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     out_spec = pl.BlockSpec((1, br), lambda i, ord_: (0, i), memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
@@ -457,7 +462,7 @@ def _culled_walk_fwd(
             in_specs=[ray_spec] * 6 + [bound_spec] * 4 + [scene_spec],
             out_specs=[out_spec, out_spec],
             scratch_shapes=[
-                pltpu.VMEM((2, chunk, 4), jnp.float32),
+                pltpu.VMEM((2, chunk, LANE), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

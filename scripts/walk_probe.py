@@ -28,6 +28,18 @@ def timed(fn, *a, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def tile_order(w, h, tw, th, n):
+    """Pixel ids grouped into tw x th tiles (frustum-coherent ray blocks)."""
+    ids = []
+    for ty in range(0, h, th):
+        for tx in range(0, w, tw):
+            for y in range(ty, min(ty + th, h)):
+                ids.extend(y * w + x for x in range(tx, min(tx + tw, w)))
+            if len(ids) >= n:
+                return np.asarray(ids[:n], np.int64)
+    return np.asarray(ids[:n], np.int64)
+
+
 br = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 big = random_sphere_field(8192, seed=3)
 culled = build_culled_scene(big, chunk=128)
@@ -36,28 +48,47 @@ print(f"scene: {big.num_spheres} spheres, {len(culled.bounds_r2)} chunks, br={br
 cam = make_camera(aspect_ratio=16 / 9, image_width=1024, vfov=55.0,
                   lookfrom=(0.0, 35.0, 90.0), lookat=(0.0, 0.0, 0.0))
 R = 131072
-ids = jnp.asarray(np.arange(R, dtype=np.int64) * cam.num_pixels // R, jnp.int32)
-o, d = jax.block_until_ready(
-    generate_rays(cam, jax.random.PRNGKey(0), ids % cam.image_width,
-                  ids // cam.image_width)
-)
+W, H = cam.image_width, cam.image_height
 
-f_dense = jax.jit(lambda o, d: closest_hit_pallas(o, d, culled.scene))
-t_dense = timed(f_dense, o, d)
-r1 = jax.block_until_ready(f_dense(o, d))
-h = np.asarray(r1.hit)
-print(f"dense: {t_dense*1e3:.2f} ms (hit rate {h.mean():.2f})", flush=True)
-
-f_walk = jax.jit(
-    lambda o, d: _culled_walk_fwd(
-        o, d, culled.scene, culled.bounds_c, culled.bounds_r2, culled.chunk,
-        block_rays=br,
+for name, raw_ids in (
+    ("strided", np.arange(R, dtype=np.int64) * cam.num_pixels // R),
+    ("tiled32x16", tile_order(W, H, 32, 16, R)),
+):
+    ids = jnp.asarray(raw_ids, jnp.int32)
+    o, d = jax.block_until_ready(
+        generate_rays(cam, jax.random.PRNGKey(0), ids % W, ids // W)
     )
-)
-t0 = time.perf_counter()
-tw, iw = jax.block_until_ready(f_walk(o, d))
-print(f"walk compile+first: {time.perf_counter()-t0:.0f}s", flush=True)
-t_walk = timed(f_walk, o, d)
-okw = (np.asarray(iw)[h] == np.asarray(r1.idx)[h]).mean()
-print(f"WALK br={br}: {t_walk*1e3:.2f} ms  speedup {t_dense/t_walk:.2f}x  idx={okw:.4f}",
-      flush=True)
+
+    f_dense = jax.jit(lambda o, d: closest_hit_pallas(o, d, culled.scene))
+    t_dense = timed(f_dense, o, d)
+    r1 = jax.block_until_ready(f_dense(o, d))
+    h = np.asarray(r1.hit)
+
+    f_walk = jax.jit(
+        lambda o, d: _culled_walk_fwd(
+            o, d, culled.scene, culled.bounds_c, culled.bounds_r2, culled.chunk,
+            block_rays=br,
+        )
+    )
+    t_walk = timed(f_walk, o, d)
+    tw_, iw = jax.block_until_ready(f_walk(o, d))
+    okw = (np.asarray(iw)[h] == np.asarray(r1.idx)[h]).mean()
+
+    # sweep fraction via the stats-enabled grid kernel (same ordering)
+    from distributed_raytracer_tpu.ops.pallas.culled_kernel import _culled_fwd
+
+    _, _, ns = jax.block_until_ready(
+        jax.jit(
+            lambda o, d: _culled_fwd(
+                o, d, culled.scene, culled.bounds_c, culled.bounds_r2,
+                culled.chunk, block_rays=br, stats=True,
+            )
+        )(o, d)
+    )
+    ns = np.asarray(ns)
+    print(
+        f"{name}: dense {t_dense*1e3:.2f} ms | WALK {t_walk*1e3:.2f} ms "
+        f"speedup {t_dense/t_walk:.2f}x idx={okw:.4f} "
+        f"swept {ns.mean():.1f}/{len(culled.bounds_r2)} (p95 {np.quantile(ns,0.95):.0f})",
+        flush=True,
+    )

