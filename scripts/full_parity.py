@@ -25,7 +25,7 @@ ART = os.path.join(ROOT, "artifacts")
 import numpy as np
 
 SPP = int(os.environ.get("DRAY_PARITY_SPP", "500"))
-SUBSET = 4096
+SUBSET = int(os.environ.get("DRAY_PARITY_SUBSET", "1024"))
 MEAN_NPY = os.path.join(ART, f"config4_{SPP}spp_mean.npy")
 
 

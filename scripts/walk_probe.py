@@ -29,20 +29,28 @@ def timed(fn, *a, iters=5):
 
 
 def tile_order(w, h, tw, th, n):
-    """Pixel ids grouped into tw x th tiles (frustum-coherent ray blocks)."""
+    """Pixel ids grouped into tw x th tiles (frustum-coherent ray blocks),
+    tiles sampled evenly over the WHOLE image."""
+    tiles = [
+        (ty, tx) for ty in range(0, h - th + 1, th) for tx in range(0, w - tw + 1, tw)
+    ]
+    need = n // (tw * th)
+    pick = np.linspace(0, len(tiles) - 1, need).astype(int)
     ids = []
-    for ty in range(0, h, th):
-        for tx in range(0, w, tw):
-            for y in range(ty, min(ty + th, h)):
-                ids.extend(y * w + x for x in range(tx, min(tx + tw, w)))
-            if len(ids) >= n:
-                return np.asarray(ids[:n], np.int64)
+    for k in pick:
+        ty, tx = tiles[k]
+        for y in range(ty, ty + th):
+            ids.extend(y * w + x for x in range(tx, tx + tw))
     return np.asarray(ids[:n], np.int64)
 
 
 br = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-big = random_sphere_field(8192, seed=3)
-culled = build_culled_scene(big, chunk=128)
+tw_, th_ = (int(sys.argv[2]), int(sys.argv[3])) if len(sys.argv) > 3 else (32, 16)
+chunk_sz = int(os.environ.get("DRAY_CHUNK", "128"))
+n_spheres = int(os.environ.get("DRAY_SPHERES", "8192"))
+extent = float(os.environ.get("DRAY_EXTENT", "50"))
+big = random_sphere_field(n_spheres, seed=3, extent=extent)
+culled = build_culled_scene(big, chunk=chunk_sz)
 print(f"scene: {big.num_spheres} spheres, {len(culled.bounds_r2)} chunks, br={br}",
       flush=True)
 cam = make_camera(aspect_ratio=16 / 9, image_width=1024, vfov=55.0,
@@ -52,7 +60,7 @@ W, H = cam.image_width, cam.image_height
 
 for name, raw_ids in (
     ("strided", np.arange(R, dtype=np.int64) * cam.num_pixels // R),
-    ("tiled32x16", tile_order(W, H, 32, 16, R)),
+    (f"tiled{tw_}x{th_}", tile_order(W, H, tw_, th_, R)),
 ):
     ids = jnp.asarray(raw_ids, jnp.int32)
     o, d = jax.block_until_ready(
@@ -88,7 +96,7 @@ for name, raw_ids in (
     ns = np.asarray(ns)
     print(
         f"{name}: dense {t_dense*1e3:.2f} ms | WALK {t_walk*1e3:.2f} ms "
-        f"speedup {t_dense/t_walk:.2f}x idx={okw:.4f} "
+        f"speedup {t_dense/t_walk:.2f}x hit={h.mean():.2f} idx={okw:.4f} "
         f"swept {ns.mean():.1f}/{len(culled.bounds_r2)} (p95 {np.quantile(ns,0.95):.0f})",
         flush=True,
     )
