@@ -126,6 +126,7 @@ def _forward_tape(
     intersect_fn=closest_hit,
     use_fused: bool = False,
     budget: Optional[int] = None,
+    planar: bool = False,
 ):
     """Recording wavefront forward.
 
@@ -149,11 +150,14 @@ def _forward_tape(
 
         seed_base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
 
-    # component-planar ray inputs: gathering [B] rows out of an [R,3]
-    # array fights XLA's tiled row layout; six 1-D gathers are cheap
-    rays_p = tuple(ray_o[:, c] for c in range(3)) + tuple(
-        ray_d[:, c] for c in range(3)
-    )
+    # planar=True: component-planar ray/color buffers (1-D gathers and
+    # scatters — wins at renderer scale where the [total,3] tiled-layout
+    # row scatter dominates; at grad-path pool sizes the extra per-op
+    # dispatch costs more than it saves, so the default is row layout)
+    if planar:
+        rays_p = tuple(ray_o[:, c] for c in range(3)) + tuple(
+            ray_d[:, c] for c in range(3)
+        )
 
     ft = ray_o.dtype  # f32 in production; f64 under x64 oracle checks
     tape0 = _Tape(
@@ -171,8 +175,11 @@ def _forward_tape(
         take = free & (rank < remaining)
         nr = jnp.clip(emitted + jnp.where(take, rank, 0), 0, r - 1)
         tk = take[:, None]
-        new_o = jnp.stack([rays_p[c][nr] for c in range(3)], axis=-1)
-        new_d = jnp.stack([rays_p[3 + c][nr] for c in range(3)], axis=-1)
+        if planar:
+            new_o = jnp.stack([rays_p[c][nr] for c in range(3)], axis=-1)
+            new_d = jnp.stack([rays_p[3 + c][nr] for c in range(3)], axis=-1)
+        else:
+            new_o, new_d = ray_o[nr], ray_d[nr]
         o = jnp.where(tk, new_o, o)
         d = jnp.where(tk, new_d, d)
         atten = jnp.where(tk, 1.0, atten)
@@ -218,13 +225,15 @@ def _forward_tape(
             idata=jax.lax.dynamic_update_index_in_dim(tape.idata, rec_i, it, 0),
         )
 
-        # --- drain: finished lanes store color by unique global ray id
-        # (component-planar: three 1-D scatters) ---
+        # --- drain: finished lanes store color by unique global ray id ---
         slot = jnp.where(fin, lane_ray, r + 1)
-        out = tuple(
-            out[c].at[slot].set(contrib[:, c], mode="drop", unique_indices=True)
-            for c in range(3)
-        )
+        if planar:
+            out = tuple(
+                out[c].at[slot].set(contrib[:, c], mode="drop", unique_indices=True)
+                for c in range(3)
+            )
+        else:
+            out = out.at[slot].set(contrib, mode="drop", unique_indices=True)
         live2 = keep & ~exhausted
         return (o2, d2, atten2, lane_ray, lane_depth2, live2, emitted, out,
                 tape, it + 1)
@@ -241,13 +250,18 @@ def _forward_tape(
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool),
         jnp.asarray(0, jnp.int32),
-        tuple(jnp.zeros((r + 2,), ft) for _ in range(3)),
+        tuple(jnp.zeros((r + 2,), ft) for _ in range(3))
+        if planar
+        else jnp.zeros((r + 2, 3), ft),
         tape0,
         jnp.asarray(0, jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, carry0)
-    planes, tape, n_it = out[7], out[8], out[9]
-    color = jnp.stack([p[:r] for p in planes], axis=-1)
+    buf, tape, n_it = out[7], out[8], out[9]
+    if planar:
+        color = jnp.stack([p[:r] for p in buf], axis=-1)
+    else:
+        color = buf[:r]
     return color, tape, n_it
 
 
@@ -267,6 +281,7 @@ def _backward_tape(
     n_it: jnp.ndarray,
     g_color: jnp.ndarray,
     segsum: str = "scatter",
+    planar: bool = False,
 ):
     """Reverse replay of the iteration tape -> (d_scene, g_ray_o, g_ray_d).
 
@@ -278,9 +293,8 @@ def _backward_tape(
     r = g_color.shape[0]
     b = tape.fdata.shape[1]
     n = scene.num_spheres
-    # component-planar g_color: 1-D gathers instead of [B]-row gathers
-    # from a tiled [R,3] layout
-    g_color_p = tuple(g_color[:, c] for c in range(3))
+    if planar:
+        g_color_p = tuple(g_color[:, c] for c in range(3))
 
     def body(carry):
         (it, cot_o, cot_d, cot_at, g_pm, g_ray_o, g_ray_d) = carry
@@ -292,7 +306,10 @@ def _backward_tape(
 
         # color cotangent enters where the ray finished
         lr = jnp.clip(rec.lane_ray, 0, r - 1)
-        gcol = jnp.stack([g_color_p[c][lr] for c in range(3)], axis=-1)
+        if planar:
+            gcol = jnp.stack([g_color_p[c][lr] for c in range(3)], axis=-1)
+        else:
+            gcol = g_color[lr]
         cot_c = jnp.where(rec.finished[:, None], gcol, 0.0)
 
         params = _gather_params(scene, rec.idx, rec.hit)
@@ -323,14 +340,18 @@ def _backward_tape(
         # refill backward: ray born here -> emit primary cotangent, cut carry
         tk = rec.take[:, None]
         slot = jnp.where(rec.take, rec.lane_ray, r + 1)
-        g_ray_o = tuple(
-            g_ray_o[c].at[slot].set(d_o[:, c], mode="drop", unique_indices=True)
-            for c in range(3)
-        )
-        g_ray_d = tuple(
-            g_ray_d[c].at[slot].set(d_d[:, c], mode="drop", unique_indices=True)
-            for c in range(3)
-        )
+        if planar:
+            g_ray_o = tuple(
+                g_ray_o[c].at[slot].set(d_o[:, c], mode="drop", unique_indices=True)
+                for c in range(3)
+            )
+            g_ray_d = tuple(
+                g_ray_d[c].at[slot].set(d_d[:, c], mode="drop", unique_indices=True)
+                for c in range(3)
+            )
+        else:
+            g_ray_o = g_ray_o.at[slot].set(d_o, mode="drop", unique_indices=True)
+            g_ray_d = g_ray_d.at[slot].set(d_d, mode="drop", unique_indices=True)
         cot_o = jnp.where(tk, 0.0, d_o)
         cot_d = jnp.where(tk, 0.0, d_d)
         cot_at = jnp.where(tk, 0.0, d_at)
@@ -346,8 +367,12 @@ def _backward_tape(
         jnp.zeros((b, 3), ft),
         jnp.zeros((b, 3), ft),
         jnp.zeros((n + 1, 9), ft),
-        tuple(jnp.zeros((r + 2,), ft) for _ in range(3)),
-        tuple(jnp.zeros((r + 2,), ft) for _ in range(3)),
+        tuple(jnp.zeros((r + 2,), ft) for _ in range(3))
+        if planar
+        else jnp.zeros((r + 2, 3), ft),
+        tuple(jnp.zeros((r + 2,), ft) for _ in range(3))
+        if planar
+        else jnp.zeros((r + 2, 3), ft),
     )
     (_, _, _, _, g_pm, g_ray_o, g_ray_d) = jax.lax.while_loop(cond, body, carry0)
 
@@ -359,8 +384,11 @@ def _backward_tape(
         fuzz=g_pm[:n, 7],
         ior=g_pm[:n, 8],
     )
-    g_o = jnp.stack([c[:r] for c in g_ray_o], axis=-1)
-    g_d = jnp.stack([c[:r] for c in g_ray_d], axis=-1)
+    if planar:
+        g_o = jnp.stack([c[:r] for c in g_ray_o], axis=-1)
+        g_d = jnp.stack([c[:r] for c in g_ray_d], axis=-1)
+    else:
+        g_o, g_d = g_ray_o[:r], g_ray_d[:r]
     return d_scene, g_o, g_d
 
 
@@ -410,6 +438,7 @@ def make_tape_tracer(
     use_fused: bool = False,
     segsum: str = "scatter",
     budget: Optional[int] = None,
+    planar: bool = False,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
     VJP.  The TPU production config is use_fused=True (fused bounce kernel
@@ -418,19 +447,21 @@ def make_tape_tracer(
     @jax.custom_vjp
     def traced_k(scene, ray_o, ray_d, k):
         color, _, _ = _forward_tape(
-            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused, budget
+            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
+            budget, planar,
         )
         return color
 
     def traced_fwd(scene, ray_o, ray_d, k):
         color, tape, n_it = _forward_tape(
-            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused, budget
+            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
+            budget, planar,
         )
         return color, (scene, tape, n_it)
 
     def traced_bwd(res, g_color):
         scene, tape, n_it = res
-        d_scene, g_o, g_d = _backward_tape(scene, tape, n_it, g_color, segsum)
+        d_scene, g_o, g_d = _backward_tape(scene, tape, n_it, g_color, segsum, planar)
         import numpy as _np
 
         d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)

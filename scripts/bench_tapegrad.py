@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_one(pool, segsum, use_fused, workload, split=True, budget=None):
+def bench_one(pool, segsum, use_fused, workload, split=True, budget=None,
+              planar=False):
     from distributed_raytracer_tpu.grad.diff_render import image_loss
     from distributed_raytracer_tpu.grad.tapegrad import _forward_tape, make_tape_tracer
     from distributed_raytracer_tpu.ops.intersect import closest_hit
@@ -31,7 +32,7 @@ def bench_one(pool, segsum, use_fused, workload, split=True, budget=None):
     key = jax.random.PRNGKey(1)
     tracer = make_tape_tracer(
         key, depth, pool=pool, intersect_fn=ifn, use_fused=use_fused,
-        segsum=segsum, budget=budget,
+        segsum=segsum, budget=budget, planar=planar,
     )
 
     @jax.jit
@@ -56,13 +57,13 @@ def bench_one(pool, segsum, use_fused, workload, split=True, budget=None):
     dt, compile_s, out = timeit(lambda *a: fwd_bwd(params, *a), scene, ray_o, ray_d)
     loss, grads = out
     msg = (f"RESULT pool={pool} segsum={segsum} fused={use_fused} budget={budget} "
-           f"ms={dt*1e3:.2f} rays_s={n_rays/dt:,.0f} (compile {compile_s:.0f}s, "
-           f"loss={float(loss):.5f})")
+           f"planar={planar} ms={dt*1e3:.2f} rays_s={n_rays/dt:,.0f} "
+           f"(compile {compile_s:.0f}s, loss={float(loss):.5f})")
 
     if split:
         fwd_only = jax.jit(
             lambda s, o, d: _forward_tape(s, o, d, key, depth, pool, ifn, use_fused,
-                                          budget)
+                                          budget, planar)
         )
         dtf, cf, res = timeit(fwd_only, scene, ray_o, ray_d)
         n_it = int(res[2])
@@ -103,14 +104,14 @@ def main():
                                  camera.max_depth, n_rays, on_tpu)
         return workloads[n_rays]
 
-    # configs: "rays:pool:segsum[:fused[:budget]]"
+    # configs: "rays:pool:segsum[:fused[:planar]]"
     configs = sys.argv[1:] or ["65536:16384:matmul:fused"]
     for c in configs:
         parts = c.split(":")
         n_rays, pool, segsum = int(parts[0]), int(parts[1]), parts[2]
         fused = len(parts) > 3 and parts[3] == "fused"
-        budget = int(parts[4]) if len(parts) > 4 else None
-        bench_one(pool, segsum, fused, workload(n_rays), budget=budget)
+        planar = len(parts) > 4 and parts[4] == "planar"
+        bench_one(pool, segsum, fused, workload(n_rays), planar=planar)
 
 
 if __name__ == "__main__":

@@ -4,4 +4,7 @@
 # minutes through the remote-compile tunnel (CLAUDE.md).
 set -e
 cd "$(dirname "$0")/.."
-DRAY_TPU_TESTS=1 exec timeout 595 python -m pytest tests/ -m tpu -v "$@"
+# -u: per-test lines flush through pipes; caller controls the timeout
+# (first compiles of changed kernels can exceed 10 min total — run
+# subsets with -k when the tunnel is slow)
+DRAY_TPU_TESTS=1 exec python -u -m pytest tests/ -m tpu -v "$@"
