@@ -162,6 +162,14 @@ def render_wavefront_sum_fused(
     seed_base = jnp.asarray(
         jax.random.randint(key, (), 0, 2**31 - 1), jnp.int32
     )
+    # pos-gather drain (profiled: the three planar color scatters were 58%
+    # of the forward program; TPU scatters ~43 ns/row vs ~1.5 ns/row for
+    # gathers): finished colors go to a dense per-iteration buffer and only
+    # a 1-D int32 position is scattered; per-ray colors are one gather at
+    # the end.  Worst-case iterations = every ray at max depth; only
+    # enabled when that buffer fits comfortably in HBM.
+    t_worst = -(-total * max_depth // b) + max_depth + 2
+    pos_drain = t_worst * b * 12 <= 2_500_000_000
 
     def body(carry):
         o, d, atten, lane_ray, depth, live, emitted, out, it = carry
@@ -194,17 +202,22 @@ def render_wavefront_sum_fused(
         keep = live & ~fin
         exhausted = keep & (depth >= max_depth)
 
-        # drain: final color = carried attenuation * bounce terminal color.
-        # COMPONENT-PLANAR buffers: scattering [B,3] rows into an
-        # [total,3] array hits XLA's tiled row layout and costs ~4x the
-        # bounce kernel itself (profiled, docs/DESIGN.md §2); three 1-D
-        # scatters into linear f32 buffers are cheap.
+        # drain: final color = carried attenuation * bounce terminal color
         slot = jnp.where(fin, lane_ray, total)
         color = atten * res.color
-        out = tuple(
-            out[c].at[slot].set(color[:, c], mode="drop", unique_indices=True)
-            for c in range(3)
-        )
+        if pos_drain:
+            pos, contrib = out
+            flat = it * b + jnp.arange(b, dtype=jnp.int32)
+            pos = pos.at[slot].set(flat, mode="drop", unique_indices=True)
+            contrib = jax.lax.dynamic_update_index_in_dim(contrib, color, it, 0)
+            out = (pos, contrib)
+        else:
+            # component-planar fallback (still far better than a [total,3]
+            # row scatter, which costs 4x the bounce kernel)
+            out = tuple(
+                out[c].at[slot].set(color[:, c], mode="drop", unique_indices=True)
+                for c in range(3)
+            )
         o = jnp.where(keep[:, None], res.new_o, o)
         d = jnp.where(keep[:, None], res.new_d, d)
         atten = jnp.where(keep[:, None], atten * res.atten, atten)
@@ -215,6 +228,13 @@ def render_wavefront_sum_fused(
         live, emitted = carry[5], carry[6]
         return (emitted < total) | jnp.any(live)
 
+    if pos_drain:
+        out0 = (
+            jnp.full((total + 1,), -1, jnp.int32),
+            jnp.zeros((t_worst, b, 3), jnp.float32),
+        )
+    else:
+        out0 = tuple(jnp.zeros((total + 1,), jnp.float32) for _ in range(3))
     carry0 = (
         jnp.zeros((b, 3), jnp.float32),
         jnp.ones((b, 3), jnp.float32),  # nonzero dir: avoid 0-length rays
@@ -223,10 +243,18 @@ def render_wavefront_sum_fused(
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool),
         jnp.asarray(0, jnp.int32),
-        tuple(jnp.zeros((total + 1,), jnp.float32) for _ in range(3)),
+        out0,
         jnp.asarray(0, jnp.int32),
     )
     *_, out, _ = jax.lax.while_loop(cond, body, carry0)
+    if pos_drain:
+        pos, contrib = out
+        pos = pos[:total]
+        flat = contrib.reshape(t_worst * b, 3)
+        colors = jnp.where(
+            (pos >= 0)[:, None], flat[jnp.clip(pos, 0, t_worst * b - 1)], 0.0
+        )
+        return jnp.sum(colors.reshape(spp, n_pix, 3), axis=0)
     planes = [jnp.sum(c[:total].reshape(spp, n_pix), axis=0) for c in out]
     return jnp.stack(planes, axis=-1)
 
