@@ -142,6 +142,7 @@ def render_wavefront_sum_fused(
     spp: int,
     pool_size: int = DEFAULT_POOL,
     block_rays: int = 512,
+    pos_drain: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Wavefront render with the FULLY FUSED bounce kernel
     (ops/pallas/bounce_kernel.py): one pallas_call per pool iteration does
@@ -169,7 +170,8 @@ def render_wavefront_sum_fused(
     # the end.  Worst-case iterations = every ray at max depth; only
     # enabled when that buffer fits comfortably in HBM.
     t_worst = -(-total * max_depth // b) + max_depth + 2
-    pos_drain = t_worst * b * 12 <= 2_500_000_000
+    if pos_drain is None:
+        pos_drain = t_worst * b * 12 <= 2_500_000_000
 
     def body(carry):
         o, d, atten, lane_ray, depth, live, emitted, out, it = carry

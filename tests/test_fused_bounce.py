@@ -79,6 +79,31 @@ def test_inactive_lanes_untouched():
     np.testing.assert_array_equal(np.asarray(out.new_d), np.asarray(d))
 
 
+def test_pos_drain_matches_planar_fallback():
+    # the pos-gather drain and the planar-scatter fallback must produce
+    # IDENTICAL sums (same bounces, same draws — only the color routing
+    # differs)
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .build()
+    )
+    cam = make_camera(aspect_ratio=2.0, image_width=32, samples_per_pixel=2, max_depth=4)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(
+            jax.jit(
+                lambda s, k: render_wavefront_sum_fused(s, cam, k, 2, 512, pos_drain=True)
+            )(scene, jax.random.PRNGKey(0))
+        )
+        b = np.asarray(
+            jax.jit(
+                lambda s, k: render_wavefront_sum_fused(s, cam, k, 2, 512, pos_drain=False)
+            )(scene, jax.random.PRNGKey(0))
+        )
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pool_sky_only_render_exact():
     # all-sky scene: deterministic colors regardless of PRNG -> the pool's
     # refill/drain bookkeeping is exactly checkable in interpret mode
