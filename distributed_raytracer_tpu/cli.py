@@ -136,6 +136,9 @@ def cmd_render(args):
     if args.fill == "shuffled" and args.snapshot_every:
         fill_cb = lambda img: write_ppm(out, img)
 
+    # block culling needs frustum-coherent ray blocks to skip work
+    ray_order = "tiled" if args.accel == "culled" else "row"
+
     with metrics.phase("render"):
         state = render_progressive(
             scene,
@@ -151,6 +154,7 @@ def cmd_render(args):
             intersect_fn=intersect_fn,
             fill=args.fill,
             fill_cb=fill_cb,
+            ray_order=ray_order,
         )
     write_ppm(out, state.mean_image())
     metrics.report()

@@ -95,11 +95,22 @@ class AccumState:
         )
 
 
-def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas, intersect_fn):
+def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
+                        intersect_fn, ray_order="row"):
     """Jitted sample-batch renderer for the wavefront engines."""
     import functools
 
+    import jax.numpy as jnp
+
     from distributed_raytracer_tpu.render import wavefront as wf
+
+    perm = None
+    if ray_order == "tiled":
+        from distributed_raytracer_tpu.render.order import tile_permutation
+
+        perm = jnp.asarray(
+            tile_permutation(camera.image_width, camera.image_height)
+        )
 
     if engine == "fused":
         render = jax.jit(
@@ -111,9 +122,11 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas, intersect_
             functools.partial(wf.render_wavefront_sum, intersect_fn=intersect_fn),
             static_argnames=("spp", "pool_size"),
         )
-        return lambda k, n: render(scene, camera, k, spp=n, pool_size=pool_size)
+        return lambda k, n: render(
+            scene, camera, k, spp=n, pool_size=pool_size, pixel_perm=perm
+        )
     return lambda k, n: wf._render_wavefront_jit(
-        scene, camera, k, n, pool_size, use_pallas
+        scene, camera, k, n, pool_size, use_pallas, perm
     )
 
 
@@ -174,6 +187,7 @@ def render_progressive(
     fill: str = "row",
     fill_chunk: int = 16384,
     fill_cb=None,
+    ray_order: str = "row",
 ) -> AccumState:
     """Progressive render loop with optional checkpointing.
 
@@ -211,7 +225,7 @@ def render_progressive(
     key = jax.random.PRNGKey(seed)
     if engine != "scan":
         delta_fn = _wavefront_delta_fn(
-            scene, camera, engine, pool_size, use_pallas, intersect_fn
+            scene, camera, engine, pool_size, use_pallas, intersect_fn, ray_order
         )
 
     # shuffled progressive fill-in: sample 0 only (the reference's

@@ -57,8 +57,15 @@ def render_wavefront_sum(
     spp: int,
     pool_size: int = DEFAULT_POOL,
     intersect_fn=closest_hit,
+    pixel_perm=None,
 ) -> jnp.ndarray:
-    """Color SUM image [num_pixels, 3] for spp samples per pixel."""
+    """Color SUM image [num_pixels, 3] for spp samples per pixel.
+
+    pixel_perm: optional [n_pix] i32 permutation of the ray STREAM's pixel
+    order (stream position k renders pixel pixel_perm[k % n_pix]) — tile
+    permutations (render/order.py) make in-flight ray blocks frustum-
+    coherent, which the block-culled intersect kernels need to skip work.
+    The returned sums are in PIXEL order either way."""
     n_pix = camera.num_pixels
     w = camera.image_width
     total = n_pix * spp
@@ -77,6 +84,8 @@ def render_wavefront_sum(
         take = free & (rank < remaining)
         ray_idx = emitted + jnp.where(take, rank, 0)
         pix = ray_idx % n_pix                                   # sample-major
+        if pixel_perm is not None:
+            pix = pixel_perm[pix]
         new_o, new_d = generate_rays(camera, k_cam, pix % w, pix // w)
         tk = take[:, None]
         st = RayState(
@@ -130,9 +139,12 @@ def render_wavefront_sum(
         jnp.asarray(0, jnp.int32),
     )
     *_, out, _ = jax.lax.while_loop(cond, body, carry0)
-    # per-ray -> per-pixel: ray_idx = sample * n_pix + pixel (sample-major)
+    # per-ray -> per-pixel: ray_idx = sample * n_pix + stream position
     planes = [jnp.sum(c[:total].reshape(spp, n_pix), axis=0) for c in out]
-    return jnp.stack(planes, axis=-1)
+    sums = jnp.stack(planes, axis=-1)
+    if pixel_perm is not None:
+        sums = sums[jnp.argsort(pixel_perm)]  # stream order -> pixel order
+    return sums
 
 
 def render_wavefront_sum_fused(
@@ -264,7 +276,8 @@ def render_wavefront_sum_fused(
 @functools.partial(
     jax.jit, static_argnames=("spp", "pool_size", "use_pallas")
 )
-def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas):
+def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas,
+                          pixel_perm=None):
     if use_pallas:
         from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
             closest_hit_pallas,
@@ -273,7 +286,8 @@ def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas):
         ifn = closest_hit_pallas
     else:
         ifn = closest_hit
-    return render_wavefront_sum(scene, camera, key, spp, pool_size, ifn)
+    return render_wavefront_sum(scene, camera, key, spp, pool_size, ifn,
+                                pixel_perm)
 
 
 def render_image_wavefront(
@@ -286,15 +300,26 @@ def render_image_wavefront(
     use_pallas: bool = False,
     intersect_fn=None,
     progress_cb=None,
+    ray_order: str = "row",
 ) -> np.ndarray:
     """Full-image wavefront render; returns linear mean [H, W, 3] on host.
 
     batch: samples per device program (one jit call renders batch spp).
     intersect_fn: custom closest-hit (e.g. the block-culled sweep); when
-    given it overrides use_pallas."""
+    given it overrides use_pallas.
+    ray_order: "row" (scanline stream) or "tiled" (32x16 pixel tiles —
+    frustum-coherent blocks, required for the culled kernels to win)."""
     spp = spp if spp is not None else camera.samples_per_pixel
     key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((camera.num_pixels, 3), jnp.float32)
+
+    pixel_perm = None
+    if ray_order == "tiled":
+        from distributed_raytracer_tpu.render.order import tile_permutation
+
+        pixel_perm = jnp.asarray(
+            tile_permutation(camera.image_width, camera.image_height)
+        )
 
     if intersect_fn is not None:
         render = jax.jit(
@@ -312,7 +337,8 @@ def render_image_wavefront(
     while done < spp:
         n = min(batch, spp - done)
         k = jax.random.fold_in(key, done)
-        acc = acc + render(scene, camera, k, spp=n, pool_size=pool_size)
+        acc = acc + render(scene, camera, k, spp=n, pool_size=pool_size,
+                           pixel_perm=pixel_perm)
         done += n
         if progress_cb is not None:
             progress_cb(done, np.asarray(acc) / done)

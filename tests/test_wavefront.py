@@ -73,3 +73,46 @@ def test_depth_exhaustion_black():
     cam = make_camera(aspect_ratio=1.0, image_width=8, samples_per_pixel=2, max_depth=3)
     img = render_image_wavefront(scene, cam, seed=0, spp=2, pool_size=256)
     np.testing.assert_array_equal(img, 0.0)
+
+
+def test_tile_permutation_properties():
+    from distributed_raytracer_tpu.render.order import (
+        inverse_permutation,
+        tile_permutation,
+    )
+
+    p = tile_permutation(70, 37, 32, 16)  # non-divisible edges
+    assert sorted(p.tolist()) == list(range(70 * 37))  # a true permutation
+    inv = inverse_permutation(p)
+    np.testing.assert_array_equal(p[inv], np.arange(70 * 37))
+    # first full tile is contiguous 32x16 pixels of the top-left corner
+    first = set(p[: 32 * 16].tolist())
+    expect = {y * 70 + x for y in range(16) for x in range(32)}
+    assert first == expect
+
+
+def test_tiled_ray_order_same_estimator():
+    from distributed_raytracer_tpu.render.order import tile_permutation
+
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .build()
+    )
+    cam = make_camera(aspect_ratio=2.0, image_width=64, samples_per_pixel=8, max_depth=5)
+    perm = jnp.asarray(tile_permutation(cam.image_width, cam.image_height, 16, 8))
+    key = jax.random.PRNGKey(3)
+    row = np.asarray(
+        jax.jit(
+            lambda s, k: render_wavefront_sum(s, cam, k, 8, 1024)
+        )(scene, key)
+    )
+    til = np.asarray(
+        jax.jit(
+            lambda s, k: render_wavefront_sum(s, cam, k, 8, 1024, pixel_perm=perm)
+        )(scene, key)
+    )
+    # same estimator, different noise assignment: images agree statistically
+    assert np.isfinite(til).all()
+    assert np.abs(til / 8 - row / 8).mean() < 0.05
