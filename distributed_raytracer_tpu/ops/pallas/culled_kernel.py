@@ -475,14 +475,24 @@ def _culled_walk_fwd(
 
 
 def make_culled_intersect(
-    culled: CulledScene, block_rays: int = DEFAULT_BR, mode: str = "walk"
+    culled: CulledScene, block_rays: int = DEFAULT_BR, mode: str = "grid"
 ):
     """intersect_fn for ops/trace: closest hit via the block-culled sweep.
 
-    mode="walk" (default): in-kernel front-to-back chunk walk with
-    double-buffered manual DMA — culled chunks cost one bound test.
-    mode="grid": the 2D-grid variant (every chunk is a grid cell; compute
-    skipped under @pl.when but per-cell overhead still paid).
+    mode="grid" (default): the 2D-grid variant — every chunk is a grid
+    cell, compute skipped under @pl.when.  Mosaic pipelines the cells, so
+    the worst case (incoherent rays, nothing skippable) stays ~1x the
+    dense sweep; wins are modest (~1.2x) because per-cell orchestration
+    is paid regardless.
+
+    mode="walk": in-kernel front-to-back chunk walk with double-buffered
+    manual DMA — culled chunks cost only a bound test, giving 1.5x (8k
+    spheres) to 1.9x (32k) over the dense sweep **on frustum-coherent ray
+    blocks** (tiled pixel order, render/order.py).  On INCOHERENT blocks
+    (post-bounce wavefront rays) every chunk is swept and the serialized
+    walk loses badly (measured 8x slower) — use it for primary-ray /
+    coherent workloads only.  A per-bounce lane re-sort (direction-octant
+    keys) would restore coherence for the full path tracer; future work.
 
     The trace must be run with culled.scene (the reordered scene) so that
     material gathers see the same sphere order.  Differentiation uses the
