@@ -129,11 +129,17 @@ def _bounce_kernel(
         ok & (rn > T_MIN), rn, jnp.where(ok & (rf > T_MIN), rf, BIG)
     )
     t_c = jnp.min(t, axis=0, keepdims=True)
-    sel = (t == t_c) & (t_c < BIG * 0.5)  # (CHUNK, BR) one-hot-ish winner mask
+    # Exactly one-hot winner mask: gate to the argmin sublane so that when two
+    # DISTINCT spheres tie for the chunk minimum, every carried attribute (and
+    # i_out below) comes from the same sphere — the first-min row, matching
+    # jnp.argmin's tie rule.  (A plain t == t_c mask could mix fields.)
+    i_min = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]  # (1, BR)
+    row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    sel = (row == i_min) & (t_c < BIG * 0.5)  # (CHUNK, BR) one-hot winner mask
 
     def pick(col_ref, current):
         # winner attribute for this chunk via masked max-reduction (values
-        # are gated by sel; ties pick either copy — identical spheres)
+        # are gated by the one-hot sel, so the max is just a row select)
         v = jnp.max(jnp.where(sel, col_ref[:], -3.4e38), axis=0, keepdims=True)
         return jnp.where(t_c < t_ref[:], v, current)
 
@@ -148,7 +154,7 @@ def _bounce_kernel(
     wfz[:] = pick(fz_ref, wfz[:])
     wio[:] = pick(io_ref, wio[:])
     wmt[:] = pick(mt_ref, wmt[:])
-    i_chunk = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + ci * chunk
+    i_chunk = i_min + ci * chunk
     i_out[:] = jnp.where(better, i_chunk, i_out[:])
     t_ref[:] = jnp.where(better, t_c, t_ref[:])
 

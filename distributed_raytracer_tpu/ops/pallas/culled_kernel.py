@@ -207,12 +207,22 @@ def _culled_kernel(
         idx_out[:] = jnp.where(better, i_chunk, idx_out[:])
 
 
-def _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br):
-    """Per-ray-block front-to-back chunk permutation [n_blocks, n_chunks].
+def _block_visit_plan(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br):
+    """Per-ray-block chunk visit plan: (order [n_blocks, C], n_visit [n_blocks]).
 
-    Sort key = distance along the block's mean ray to each chunk's bound
-    center; always-swept chunks (inf bound, e.g. the ground sphere) go
-    FIRST so t_best tightens immediately for every ray."""
+    order is a front-to-back permutation (sort key = distance along the
+    block's mean ray to each chunk's bound center; always-swept inf-bound
+    chunks, e.g. the ground sphere, go FIRST so t_best tightens
+    immediately), with one refinement over a plain sort: chunks that NO ray
+    in the block can geometrically reach — the t-independent part of the
+    kernel's bound test, evaluated exactly per ray here — are pushed to the
+    END, and n_visit counts only the reachable prefix.  The walk kernel
+    loops `n_visit[i]` times instead of n_chunks, so an unreachable chunk
+    costs nothing at all (the 2D-grid kernel ignores n_visit; its grid is
+    static).  The reach test uses a slightly inflated bound radius so host
+    rounding (matmul-form expansion here vs oc-form in the kernel) can only
+    err toward visiting, never toward skipping — bit-correctness of the
+    result is unconditional."""
     r = ray_o.shape[0]
     pad = n_blocks * br - r
     ob = jnp.pad(ray_o, ((0, pad), (0, 0))).reshape(n_blocks, br, 3)
@@ -223,8 +233,37 @@ def _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br):
     rel = bounds_c[None, :, :] - o_mean[:, None, :]            # [B, C, 3]
     proj = jnp.einsum("bcx,bx->bc", rel, d_mean)
     dist = jnp.maximum(proj, 0.0)
-    dist = jnp.where(jnp.isfinite(bounds_r2)[None, :], dist, -1.0)
-    return jnp.argsort(dist, axis=1).astype(jnp.int32)
+
+    # exact reachability, rays x chunks, via the expanded quadratic so the
+    # [B, br, C] terms come from two MXU matmuls (no [B, br, C, 3] tensor).
+    # farb > t_min is compared in the a-scaled form (hb + sq > t_min * a)
+    # to stay NaN-free on zero-padded ray rows (a == 0 gates them off).
+    hi = jax.lax.Precision.HIGHEST
+    r2_pad = jnp.where(
+        jnp.isfinite(bounds_r2), bounds_r2 * (1.0 + 1e-4) + 1e-5, bounds_r2
+    )
+    a = jnp.sum(db * db, axis=-1)                              # [B, br]
+    db_bc = jnp.einsum("brx,cx->brc", db, bounds_c, precision=hi)
+    ob_bc = jnp.einsum("brx,cx->brc", ob, bounds_c, precision=hi)
+    hb = db_bc - jnp.sum(db * ob, axis=-1)[..., None]          # [B, br, C]
+    cb = (
+        jnp.sum(bounds_c * bounds_c, axis=-1)[None, None]
+        - 2.0 * ob_bc
+        + jnp.sum(ob * ob, axis=-1)[..., None]
+        - r2_pad[None, None]
+    )
+    disc = hb * hb - a[..., None] * cb
+    ok = disc >= 0.0
+    far = hb + jnp.sqrt(jnp.where(ok, disc, 0.0))              # = farb * a
+    reach = jnp.any(
+        ok & (far > T_MIN * a[..., None]) & (a[..., None] > 0.0), axis=1
+    )                                                          # [B, C]
+    always = ~jnp.isfinite(bounds_r2)[None, :]
+    reach = reach | always
+    key = jnp.where(always, -1.0, jnp.where(reach, dist, jnp.inf))
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    n_visit = jnp.sum(reach, axis=1).astype(jnp.int32)
+    return order, n_visit
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "block_rays", "stats"))
@@ -257,7 +296,7 @@ def _culled_fwd(
         bounds_c[:, 2].reshape(n_chunks, 1),
         bounds_r2.reshape(n_chunks, 1),
     ]
-    order = _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br)
+    order, _ = _block_visit_plan(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br)
 
     # index maps take the scalar-prefetch ref: the sphere chunk streamed at
     # grid position (i, j) is the j-th NEAREST chunk for ray block i
@@ -294,6 +333,7 @@ def _culled_fwd(
 
 def _walk_kernel(
     order_ref,                                        # [n_blocks, C] SMEM (prefetch)
+    nvis_ref,                                         # [n_blocks] SMEM (prefetch)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [1, BR] VMEM
     bx_ref, by_ref, bz_ref, br2_ref,                  # [C, 1] VMEM chunk bounds
     scene_ref,                                        # [N, 4] HBM (cx cy cz r2)
@@ -313,10 +353,14 @@ def _walk_kernel(
     the 2 KB sphere chunk from HBM (double-buffered: chunk j+1's copy is
     started, gated on ITS bound test, before chunk j is swept) and sweep.
     A culled chunk costs one ~20-op bound test — no DMA, no sweep, no
-    grid-cell overhead.  This is the reference's front-to-back traversal
-    with early termination (ray_server.rs:56-60, hittable_list.rs:42-55)
-    as one persistent kernel per ray block."""
+    grid-cell overhead; a chunk NO ray can reach at all (host-side exact
+    reachability pre-pass, _block_visit_plan) costs nothing — the loop's
+    trip count is the block's reachable-chunk count, not n_chunks.  This
+    is the reference's front-to-back traversal with early termination
+    (ray_server.rs:56-60, hittable_list.rs:42-55) as one persistent
+    kernel per ray block."""
     i = pl.program_id(0)
+    n_vis = nvis_ref[i]
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     a = dx * dx + dy * dy + dz * dz
@@ -351,7 +395,7 @@ def _walk_kernel(
     idx_out[:] = jnp.zeros_like(idx_out)
 
     first_id = order_ref[i, 0]
-    poss0 = bound_possible(first_id, t_out[:])
+    poss0 = (n_vis > 0) & bound_possible(first_id, t_out[:])
 
     @pl.when(poss0)
     def _():
@@ -364,7 +408,7 @@ def _walk_kernel(
 
         # gate + launch chunk j+1's copy before sweeping j (double buffer)
         nxt = order_ref[i, jnp.minimum(j + 1, n_chunks - 1)]
-        start_next = (j + 1 < n_chunks) & bound_possible(nxt, t_out[:])
+        start_next = (j + 1 < n_vis) & bound_possible(nxt, t_out[:])
 
         @pl.when(start_next)
         def _():
@@ -406,7 +450,9 @@ def _walk_kernel(
 
         return start_next
 
-    jax.lax.fori_loop(0, n_chunks, step, poss0)
+    # traced trip count (lowers to a while_loop): only the reachable prefix
+    # of the visit order is ever walked
+    jax.lax.fori_loop(0, n_vis, step, poss0)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "block_rays"))
@@ -441,23 +487,29 @@ def _culled_walk_fwd(
         bounds_c[:, 2].reshape(n_chunks, 1),
         bounds_r2.reshape(n_chunks, 1),
     ]
-    order = _block_chunk_order(ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br)
+    order, n_visit = _block_visit_plan(
+        ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br
+    )
 
-    ray_spec = pl.BlockSpec((1, br), lambda i, ord_: (0, i), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec(
+        (1, br), lambda i, ord_, nv_: (0, i), memory_space=pltpu.VMEM
+    )
     bound_spec = pl.BlockSpec(
-        (n_chunks, 1), lambda i, ord_: (0, 0), memory_space=pltpu.VMEM
+        (n_chunks, 1), lambda i, ord_, nv_: (0, 0), memory_space=pltpu.VMEM
     )
     # HBM explicitly: pl.ANY promotes a fitting array to VMEM, where the
     # tiled layout rejects the [chunk, 4] DMA slice (lane dim 4 != 128)
     scene_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    out_spec = pl.BlockSpec((1, br), lambda i, ord_: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, br), lambda i, ord_, nv_: (0, i), memory_space=pltpu.VMEM
+    )
 
     t, idx = pl.pallas_call(
         functools.partial(
             _walk_kernel, chunk=chunk, n_chunks=n_chunks, t_min=T_MIN
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(n_blocks,),
             in_specs=[ray_spec] * 6 + [bound_spec] * 4 + [scene_spec],
             out_specs=[out_spec, out_spec],
@@ -470,7 +522,7 @@ def _culled_walk_fwd(
             jax.ShapeDtypeStruct((1, rp), jnp.float32),
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
-    )(order, *rows, *brows, scene_pack)
+    )(order, n_visit, *rows, *brows, scene_pack)
     return t[0, :r], idx[0, :r]
 
 
