@@ -155,6 +155,7 @@ def cmd_render(args):
             fill=args.fill,
             fill_cb=fill_cb,
             ray_order=ray_order,
+            resort_every=args.resort,
         )
     write_ppm(out, state.mean_image())
     metrics.report()
@@ -285,6 +286,9 @@ def main(argv=None):
                    help="Pallas intersect kernel for the wavefront engine (TPU)")
     p.add_argument("--accel", choices=["none", "culled"], default="none",
                    help="acceleration structure (culled = Morton block-culled sweep)")
+    p.add_argument("--resort", type=int, default=0, metavar="K",
+                   help="re-sort wavefront lanes every K pool iterations "
+                        "(secondary-ray coherence for --accel culled; 0 = off)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("render-dist", help="mesh-sharded render (all devices)")

@@ -19,12 +19,13 @@ sphere axis HIERARCHICAL:
      exact bounding-sphere test.
 
 Wins scale with scene size and ray-block coherence: at RTiOW's ~500
-spheres the dense sweep is already near-optimal.  Measured on v5e (8320
-spheres, 512-ray blocks of primary rays): bit-correct but ~1.0x — the
-ANY-over-block bound test almost always passes at this block size.  Real
-wins need per-ray-block front-to-back chunk ordering (scalar-prefetch
-index maps) and tiled, frustum-compact ray blocks; see
-scripts/tpu_validation.py and docs/DESIGN.md §3.
+spheres the dense sweep is already near-optimal.  Two kernel shapes
+(docs/DESIGN.md §3 for measured numbers): "grid" — every (ray block,
+chunk) pair a Mosaic grid cell, safe on incoherent rays; "walk" — an
+in-kernel front-to-back chunk walk (scalar-prefetch visit order + exact
+reachability pre-pass + group-of-8 bitmask bound tests + double-buffered
+manual DMA) for frustum-coherent ray blocks.  See scripts/walk_probe.py
+and scripts/resort_probe.py.
 """
 
 from __future__ import annotations
@@ -331,14 +332,17 @@ def _culled_fwd(
     return t[0, :r], idx[0, :r]
 
 
+GROUP = 8  # chunk bound tests batched per vectorized [GROUP, BR] evaluation
+
+
 def _walk_kernel(
     order_ref,                                        # [n_blocks, C] SMEM (prefetch)
     nvis_ref,                                         # [n_blocks] SMEM (prefetch)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [1, BR] VMEM
-    bx_ref, by_ref, bz_ref, br2_ref,                  # [C, 1] VMEM chunk bounds
+    bsort_ref,                                        # [1, C_pad, LANE] VMEM: VISIT-SORTED bounds, lanes 0..3 = bx by bz r2
     scene_ref,                                        # [N, 4] HBM (cx cy cz r2)
     t_out, idx_out,                                   # [1, BR] VMEM
-    buf, sem,                                         # scratch: [2, chunk, 4] VMEM, DMA((2,))
+    buf, sem,                                         # scratch: [2, chunk, LANE] VMEM, DMA((2,))
     *, chunk: int, n_chunks: int, t_min: float,
 ):
     """In-kernel front-to-back chunk WALK: grid = (ray blocks,) only.
@@ -352,10 +356,21 @@ def _walk_kernel(
     block's current best-t, and only when some ray can still hit it DMA
     the 2 KB sphere chunk from HBM (double-buffered: chunk j+1's copy is
     started, gated on ITS bound test, before chunk j is swept) and sweep.
-    A culled chunk costs one ~20-op bound test — no DMA, no sweep, no
-    grid-cell overhead; a chunk NO ray can reach at all (host-side exact
-    reachability pre-pass, _block_visit_plan) costs nothing — the loop's
-    trip count is the block's reachable-chunk count, not n_chunks.  This
+
+    Cost shape (v3): bound tests run GROUP=8 chunks at a time as ONE
+    vectorized [8, BR] evaluation — a [1, BR] row uses 1/8 of every vreg's
+    sublanes, so batching 8 tests costs the same vector work as one, and
+    the (slow) cross-lane any-reduction happens once per group instead of
+    once per chunk.  The 8 flags are packed into ONE scalar bitmask
+    (vector->scalar reduce) carried through the loop — scalar bit tests
+    gate the DMAs; VMEM-scratch flags + per-position scalar reads abort
+    the TPU runtime when mixed with in-kernel DMA, and SMEM cannot be
+    written from vector code.  Each group's bitmask is computed one group
+    AHEAD of its first possible use (the j+1 DMA prefetch), using the
+    then-current t_best — slightly stale, therefore conservative (t_best
+    only shrinks), so correctness is unconditional.  Chunks NO ray can
+    reach at all (host-side exact reachability pre-pass,
+    _block_visit_plan) are excluded from the trip count entirely.  This
     is the reference's front-to-back traversal with early termination
     (ray_server.rs:56-60, hittable_list.rs:42-55) as one persistent
     kernel per ray block."""
@@ -366,12 +381,26 @@ def _walk_kernel(
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
 
-    def bound_possible(chunk_id, t_best):
-        bx = bx_ref[chunk_id, 0]
-        by = by_ref[chunk_id, 0]
-        bz = bz_ref[chunk_id, 0]
-        br2v = br2_ref[chunk_id, 0]
-        obx = bx - ox
+    # iota must span lanes on Mosaic; build [G, LANE] then slice
+    pos_idx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANE), 0)[:, 0:1]
+    weights = jnp.left_shift(jnp.int32(1), pos_idx)
+
+    def flag_bits(base):
+        # batched bound test for visit positions base..base+GROUP-1: can
+        # ANY ray in the block hit bound j closer than its current best t?
+        # Bounds arrive visit-sorted per block, so this is a contiguous
+        # sublane slice.  inf-radius bounds (always-swept chunks) give
+        # disc = +inf -> possible on every live lane; zero-padded ray
+        # lanes give NaN -> compare false, contributing nothing.  Returns
+        # a scalar i32 bitmask (bit j = position base+j possible).
+        t_best = t_out[:]
+        # one dynamic-offset tile load, then static lane slices
+        btile = bsort_ref[0, pl.ds(base, GROUP), :]      # [G, LANE]
+        bx = btile[:, 0:1]                               # [G, 1]
+        by = btile[:, 1:2]
+        bz = btile[:, 2:3]
+        br2v = btile[:, 3:4]
+        obx = bx - ox                                     # [G, BR]
         oby = by - oy
         obz = bz - oz
         hb = dx * obx + dy * oby + dz * obz
@@ -382,7 +411,9 @@ def _walk_kernel(
         nearb = (hb - sq) * inv_a
         farb = (hb + sq) * inv_a
         possible = okb & (farb > t_min) & (nearb < t_best)
-        return jnp.any(possible) | ~jnp.isfinite(br2v)
+        valid = (base + pos_idx) < n_vis
+        flag = jnp.any(possible, axis=1, keepdims=True) & valid
+        return jnp.sum(jnp.where(flag, weights, 0))
 
     def start_dma(slot, chunk_id):
         pltpu.make_async_copy(
@@ -394,65 +425,80 @@ def _walk_kernel(
     t_out[:] = jnp.full_like(t_out, BIG)
     idx_out[:] = jnp.zeros_like(idx_out)
 
-    first_id = order_ref[i, 0]
-    poss0 = (n_vis > 0) & bound_possible(first_id, t_out[:])
+    bits0 = flag_bits(0)
+    poss0 = (bits0 & 1) > 0
 
     @pl.when(poss0)
     def _():
-        start_dma(0, first_id)
+        start_dma(0, order_ref[i, 0])
 
-    def step(j, started):
-        # running best-t lives in the output refs: pl.when bodies can only
-        # communicate through ref effects
-        chunk_id = order_ref[i, j]
+    n_groups = (n_vis + GROUP - 1) // GROUP
 
-        # gate + launch chunk j+1's copy before sweeping j (double buffer)
-        nxt = order_ref[i, jnp.minimum(j + 1, n_chunks - 1)]
-        start_next = (j + 1 < n_vis) & bound_possible(nxt, t_out[:])
+    def group_step(g, carry):
+        started, bits_g = carry
+        # bitmask for group g+1, one group ahead of any read of it (the
+        # j+1 prefetch below reads at most position (g+1)*GROUP during
+        # this group's inner loop)
+        bits_gp1 = flag_bits((g + 1) * GROUP)
 
-        @pl.when(start_next)
-        def _():
-            start_dma((j + 1) % 2, nxt)
+        for jj in range(GROUP):
+            pos = g * GROUP + jj
+            # clamp: the unrolled tail of the last group can exceed the
+            # order table; such positions have flag 0, so chunk_id is unused
+            chunk_id = order_ref[i, jnp.minimum(pos, n_chunks - 1)]
 
-        @pl.when(started)
-        def _():
-            slot = j % 2
-            pltpu.make_async_copy(
-                scene_ref.at[pl.ds(chunk_id * chunk, chunk), :],
-                buf.at[slot],
-                sem.at[slot],
-            ).wait()
-            cx = buf[slot, :, 0:1]
-            cy = buf[slot, :, 1:2]
-            cz = buf[slot, :, 2:3]
-            r2 = buf[slot, :, 3:4]
-            ocx = cx - ox
-            ocy = cy - oy
-            ocz = cz - oz
-            h = dx * ocx + dy * ocy + dz * ocz
-            c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
-            disc = h * h - a * c_q
-            ok = disc >= 0.0
-            sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
-            rn = (h - sqrtd) * inv_a
-            rf = (h + sqrtd) * inv_a
-            t = jnp.where(
-                ok & (rn > t_min), rn, jnp.where(ok & (rf > t_min), rf, BIG)
-            )
-            t_chunk = jnp.min(t, axis=0, keepdims=True)
-            i_chunk = (
-                jnp.argmin(t, axis=0).astype(jnp.int32)[None, :] + chunk_id * chunk
-            )
-            t_best = t_out[:]
-            better = t_chunk < t_best
-            t_out[:] = jnp.where(better, t_chunk, t_best)
-            idx_out[:] = jnp.where(better, i_chunk, idx_out[:])
+            # gate + launch position pos+1's copy before sweeping pos
+            # (double buffer); slot = position parity, and two same-parity
+            # started DMAs are >= 2 positions apart, so the earlier one
+            # has always been waited on before the later one starts
+            nxt = order_ref[i, jnp.minimum(pos + 1, n_chunks - 1)]
+            nb = (bits_g >> (jj + 1)) if jj < GROUP - 1 else bits_gp1
+            start_next = (nb & 1) > 0
 
-        return start_next
+            @pl.when(start_next)
+            def _():
+                start_dma((pos + 1) % 2, nxt)
 
-    # traced trip count (lowers to a while_loop): only the reachable prefix
-    # of the visit order is ever walked
-    jax.lax.fori_loop(0, n_vis, step, poss0)
+            @pl.when(started)
+            def _():
+                slot = pos % 2
+                pltpu.make_async_copy(
+                    scene_ref.at[pl.ds(chunk_id * chunk, chunk), :],
+                    buf.at[slot],
+                    sem.at[slot],
+                ).wait()
+                cx = buf[slot, :, 0:1]
+                cy = buf[slot, :, 1:2]
+                cz = buf[slot, :, 2:3]
+                r2 = buf[slot, :, 3:4]
+                ocx = cx - ox
+                ocy = cy - oy
+                ocz = cz - oz
+                h = dx * ocx + dy * ocy + dz * ocz
+                c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = h * h - a * c_q
+                ok = disc >= 0.0
+                sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
+                rn = (h - sqrtd) * inv_a
+                rf = (h + sqrtd) * inv_a
+                t = jnp.where(
+                    ok & (rn > t_min), rn, jnp.where(ok & (rf > t_min), rf, BIG)
+                )
+                t_chunk = jnp.min(t, axis=0, keepdims=True)
+                i_chunk = (
+                    jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+                    + chunk_id * chunk
+                )
+                t_best = t_out[:]
+                better = t_chunk < t_best
+                t_out[:] = jnp.where(better, t_chunk, t_best)
+                idx_out[:] = jnp.where(better, i_chunk, idx_out[:])
+
+            started = start_next
+        return (started, bits_gp1)
+
+    # traced trip count (lowers to a while_loop): only reachable groups
+    jax.lax.fori_loop(0, n_groups, group_step, (poss0, bits0))
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "block_rays"))
@@ -481,21 +527,41 @@ def _culled_walk_fwd(
     # pad the minor dim to the 128-lane tile: HBM memrefs keep lane tiling
     # and Mosaic rejects 4-lane DMA slices
     scene_pack = jnp.pad(scene_pack, ((0, 0), (0, LANE - 4)))
-    brows = [
-        bounds_c[:, 0].reshape(n_chunks, 1),
-        bounds_c[:, 1].reshape(n_chunks, 1),
-        bounds_c[:, 2].reshape(n_chunks, 1),
-        bounds_r2.reshape(n_chunks, 1),
-    ]
     order, n_visit = _block_visit_plan(
         ray_o, ray_d, bounds_c, bounds_r2, n_blocks, br
     )
+    # bounds VISIT-SORTED per block, [C_pad, n_blocks] (block i = column i),
+    # padded with guaranteed-miss rows (r2 = -1) so the kernel's group-of-8
+    # flag slices never run off the end
+    c_pad = (-(-n_chunks // GROUP) + 1) * GROUP
+    sorted_bc = jnp.take_along_axis(
+        jnp.broadcast_to(bounds_c[None], (n_blocks, n_chunks, 3)),
+        order[:, :, None], axis=1,
+    )                                                   # [B, C, 3]
+    sorted_r2 = jnp.take_along_axis(
+        jnp.broadcast_to(bounds_r2[None], (n_blocks, n_chunks)), order, axis=1
+    )                                                   # [B, C]
+    # one packed [n_blocks, c_pad, LANE] tensor (lanes 0..3 = bx by bz r2,
+    # rest zero): satisfies the (8, 128)-tile block constraint that a
+    # [c_pad, 1]-blocked layout violates on hardware
+    bounds_pack = jnp.stack(
+        [sorted_bc[:, :, 0], sorted_bc[:, :, 1], sorted_bc[:, :, 2], sorted_r2],
+        axis=-1,
+    )                                                   # [B, C, 4]
+    bounds_pack = jnp.pad(
+        bounds_pack,
+        ((0, 0), (0, c_pad - n_chunks), (0, LANE - 4)),
+        constant_values=0.0,
+    )
+    # padded rows must be guaranteed misses: r2 = -1
+    miss = jnp.zeros((n_blocks, c_pad - n_chunks, LANE), jnp.float32).at[:, :, 3].set(-1.0)
+    bounds_pack = bounds_pack.at[:, n_chunks:, :].set(miss)
 
     ray_spec = pl.BlockSpec(
         (1, br), lambda i, ord_, nv_: (0, i), memory_space=pltpu.VMEM
     )
     bound_spec = pl.BlockSpec(
-        (n_chunks, 1), lambda i, ord_, nv_: (0, 0), memory_space=pltpu.VMEM
+        (1, c_pad, LANE), lambda i, ord_, nv_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     # HBM explicitly: pl.ANY promotes a fitting array to VMEM, where the
     # tiled layout rejects the [chunk, 4] DMA slice (lane dim 4 != 128)
@@ -511,7 +577,7 @@ def _culled_walk_fwd(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_blocks,),
-            in_specs=[ray_spec] * 6 + [bound_spec] * 4 + [scene_spec],
+            in_specs=[ray_spec] * 6 + [bound_spec] + [scene_spec],
             out_specs=[out_spec, out_spec],
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, LANE), jnp.float32),
@@ -522,7 +588,7 @@ def _culled_walk_fwd(
             jax.ShapeDtypeStruct((1, rp), jnp.float32),
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
-    )(order, n_visit, *rows, *brows, scene_pack)
+    )(order, n_visit, *rows, bounds_pack, scene_pack)
     return t[0, :r], idx[0, :r]
 
 

@@ -96,7 +96,7 @@ class AccumState:
 
 
 def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
-                        intersect_fn, ray_order="row"):
+                        intersect_fn, ray_order="row", resort_every=0):
     """Jitted sample-batch renderer for the wavefront engines."""
     import functools
 
@@ -119,7 +119,8 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         return lambda k, n: render(scene, camera, k, spp=n, pool_size=pool_size)
     if intersect_fn is not None:
         render = jax.jit(
-            functools.partial(wf.render_wavefront_sum, intersect_fn=intersect_fn),
+            functools.partial(wf.render_wavefront_sum, intersect_fn=intersect_fn,
+                              resort_every=resort_every),
             static_argnames=("spp", "pool_size"),
         )
         return lambda k, n: render(
@@ -188,6 +189,7 @@ def render_progressive(
     fill_chunk: int = 16384,
     fill_cb=None,
     ray_order: str = "row",
+    resort_every: int = 0,
 ) -> AccumState:
     """Progressive render loop with optional checkpointing.
 
@@ -225,7 +227,8 @@ def render_progressive(
     key = jax.random.PRNGKey(seed)
     if engine != "scan":
         delta_fn = _wavefront_delta_fn(
-            scene, camera, engine, pool_size, use_pallas, intersect_fn, ray_order
+            scene, camera, engine, pool_size, use_pallas, intersect_fn, ray_order,
+            resort_every,
         )
 
     # shuffled progressive fill-in: sample 0 only (the reference's

@@ -58,6 +58,7 @@ def render_wavefront_sum(
     pool_size: int = DEFAULT_POOL,
     intersect_fn=closest_hit,
     pixel_perm=None,
+    resort_every: int = 0,
 ) -> jnp.ndarray:
     """Color SUM image [num_pixels, 3] for spp samples per pixel.
 
@@ -65,17 +66,83 @@ def render_wavefront_sum(
     order (stream position k renders pixel pixel_perm[k % n_pix]) — tile
     permutations (render/order.py) make in-flight ray blocks frustum-
     coherent, which the block-culled intersect kernels need to skip work.
-    The returned sums are in PIXEL order either way."""
+    The returned sums are in PIXEL order either way.
+
+    resort_every: if > 0, every K-th pool iteration re-sorts the lanes by a
+    (origin Morton cell, direction octant) key — the TPU-native analogue of
+    GPU wavefront ray re-sorting.  Primary rays enter coherent (tiled
+    pixel_perm) but scattering destroys block locality within a few
+    bounces; the re-sort restores it so the block-culled kernels keep
+    skipping chunks on SECONDARY rays too.  Inactive lanes sink to the
+    pool tail, so the subsequent refill writes fresh stream rays
+    contiguously (they stay coherent for free).  The permutation moves
+    whole lanes (ray id, depth, rng draw position move together), so the
+    estimator is unchanged; only the noise stream shifts (same class of
+    difference as choosing a different pool size)."""
     n_pix = camera.num_pixels
     w = camera.image_width
     total = n_pix * spp
     b = min(pool_size, total)
     max_depth = camera.max_depth
 
+    if resort_every:
+        # static scene bounding box for the Morton cell quantization
+        real = scene.radii > 0.0
+        safe_c = jnp.where(real[:, None], scene.centers, 0.0)
+        safe_r = jnp.where(real, scene.radii, 0.0)
+        bb_lo = jnp.min(safe_c - safe_r[:, None], axis=0)
+        bb_hi = jnp.max(safe_c + safe_r[:, None], axis=0)
+        bb_scale = 7.999 / jnp.maximum(bb_hi - bb_lo, 1e-6)
+
+        def lane_key(st):
+            cell = jnp.clip(
+                ((st.origin - bb_lo) * bb_scale).astype(jnp.int32), 0, 7
+            )  # [B, 3] in 0..7
+            # 3-bit/axis Morton interleave (x,y,z -> 9 bits)
+            def spread(v):  # 0..7 -> bits at positions 0,3,6
+                return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
+
+            morton = (
+                spread(cell[:, 0])
+                | (spread(cell[:, 1]) << 1)
+                | (spread(cell[:, 2]) << 2)
+            )
+            octant = (
+                (st.direction[:, 0] > 0).astype(jnp.int32)
+                | ((st.direction[:, 1] > 0).astype(jnp.int32) << 1)
+                | ((st.direction[:, 2] > 0).astype(jnp.int32) << 2)
+            )
+            k = (morton << 3) | octant
+            return jnp.where(st.active, k, jnp.int32(1 << 30))
+
     def body(carry):
         st, lane_ray, depth, emitted, out, it = carry
         k = jax.random.fold_in(key, it)
         k_cam, k_bounce = jax.random.split(k)
+
+        if resort_every:
+
+            def do_resort(args):
+                st, lane_ray, depth = args
+                perm = jnp.argsort(lane_key(st))
+                return (
+                    RayState(
+                        origin=st.origin[perm],
+                        direction=st.direction[perm],
+                        attenuation=st.attenuation[perm],
+                        color=st.color[perm],
+                        active=st.active[perm],
+                    ),
+                    lane_ray[perm],
+                    depth[perm],
+                )
+
+            st, lane_ray, depth = jax.lax.cond(
+                (it > 0) & (it % resort_every == 0),
+                do_resort,
+                lambda a: a,
+                (st, lane_ray, depth),
+            )
 
         # --- refill free lanes from the global ray stream ---
         free = ~st.active
@@ -290,6 +357,26 @@ def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas,
                                 pixel_perm)
 
 
+def warp_resort_permutation(origin, direction, active, bb_lo, bb_hi):
+    """Standalone (origin-cell, direction-octant) lane sort key + argsort —
+    exported for probes/tests; render_wavefront_sum inlines the same
+    logic."""
+    scale = 7.999 / jnp.maximum(bb_hi - bb_lo, 1e-6)
+    cell = jnp.clip(((origin - bb_lo) * scale).astype(jnp.int32), 0, 7)
+
+    def spread(v):
+        return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
+
+    morton = spread(cell[:, 0]) | (spread(cell[:, 1]) << 1) | (spread(cell[:, 2]) << 2)
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.int32)
+        | ((direction[:, 1] > 0).astype(jnp.int32) << 1)
+        | ((direction[:, 2] > 0).astype(jnp.int32) << 2)
+    )
+    k = jnp.where(active, (morton << 3) | octant, jnp.int32(1 << 30))
+    return jnp.argsort(k)
+
+
 def render_image_wavefront(
     scene: Scene,
     camera: Camera,
@@ -301,6 +388,7 @@ def render_image_wavefront(
     intersect_fn=None,
     progress_cb=None,
     ray_order: str = "row",
+    resort_every: int = 0,
 ) -> np.ndarray:
     """Full-image wavefront render; returns linear mean [H, W, 3] on host.
 
@@ -308,7 +396,9 @@ def render_image_wavefront(
     intersect_fn: custom closest-hit (e.g. the block-culled sweep); when
     given it overrides use_pallas.
     ray_order: "row" (scanline stream) or "tiled" (32x16 pixel tiles —
-    frustum-coherent blocks, required for the culled kernels to win)."""
+    frustum-coherent blocks, required for the culled kernels to win).
+    resort_every: lane re-sort period for render_wavefront_sum (secondary-
+    ray coherence for the culled kernels); 0 = off."""
     spp = spp if spp is not None else camera.samples_per_pixel
     key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((camera.num_pixels, 3), jnp.float32)
@@ -324,7 +414,8 @@ def render_image_wavefront(
     if intersect_fn is not None:
         render = jax.jit(
             functools.partial(
-                render_wavefront_sum, intersect_fn=intersect_fn
+                render_wavefront_sum, intersect_fn=intersect_fn,
+                resort_every=resort_every,
             ),
             static_argnames=("spp", "pool_size"),
         )

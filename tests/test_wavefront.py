@@ -91,6 +91,47 @@ def test_tile_permutation_properties():
     assert first == expect
 
 
+def test_resort_sample_conservation():
+    # pure-sky scene + aggressive re-sort every iteration: the lane
+    # permutation must move (ray id, state) together, so every (pixel,
+    # sample) is still emitted and drained exactly once
+    scene = SceneBuilder().add_absorbing((0, 0, 1000.0), 1.0).build()
+    cam = make_camera(aspect_ratio=2.0, image_width=32, samples_per_pixel=4, max_depth=4)
+    spp = 4
+    img_sum = np.asarray(
+        render_wavefront_sum(
+            scene, cam, jax.random.PRNGKey(0), spp, pool_size=512, resort_every=1
+        )
+    )
+    one = np.asarray(
+        render_wavefront_sum(scene, cam, jax.random.PRNGKey(1), 1, pool_size=512)
+    )
+    ratio = img_sum / (one + 1e-9)
+    assert np.all(ratio > spp * 0.9) and np.all(ratio < spp * 1.1)
+
+
+def test_resort_same_estimator():
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_metal((0, 0, -1.5), 0.5, (0.8, 0.7, 0.6), 0.1)
+        .build()
+    )
+    cam = make_camera(aspect_ratio=2.0, image_width=64, samples_per_pixel=8, max_depth=5)
+    key = jax.random.PRNGKey(3)
+    base = np.asarray(
+        jax.jit(lambda s, k: render_wavefront_sum(s, cam, k, 8, 1024))(scene, key)
+    )
+    srt = np.asarray(
+        jax.jit(
+            lambda s, k: render_wavefront_sum(s, cam, k, 8, 1024, resort_every=2)
+        )(scene, key)
+    )
+    # same estimator, different lane->noise assignment
+    assert np.isfinite(srt).all()
+    assert np.abs(srt / 8 - base / 8).mean() < 0.05
+
+
 def test_tiled_ray_order_same_estimator():
     from distributed_raytracer_tpu.render.order import tile_permutation
 
