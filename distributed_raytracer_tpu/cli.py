@@ -120,6 +120,16 @@ def cmd_render(args):
     out = args.out or f"{args.config}.ppm"
     t0 = time.time()
 
+    display = None
+    if args.display:
+        from distributed_raytracer_tpu.render.display import LiveDisplay
+
+        display = LiveDisplay(
+            cam.image_width, cam.image_height,
+            port=args.display_port, spp_total=cam.samples_per_pixel,
+        ).start()
+        print(f"live view: {display.url}", file=sys.stderr)
+
     def progress(state):
         metrics.samples_done = state.samples_done
         metrics.add_rays(cam.num_pixels * args.batch)
@@ -131,6 +141,8 @@ def cmd_render(args):
         )
         if args.snapshot_every and state.samples_done % args.snapshot_every == 0:
             write_ppm(out, state.mean_image())
+        if display is not None:
+            display.progress_cb()(state)
 
     fill_cb = None
     if args.fill == "shuffled" and args.snapshot_every:
@@ -160,6 +172,16 @@ def cmd_render(args):
     write_ppm(out, state.mean_image())
     metrics.report()
     print(f"wrote {out} [engine={engine}]", file=sys.stderr)
+    if display is not None:
+        display.update(state.mean_image(), spp_done=state.samples_done)
+        if args.display_linger:
+            print(f"final frame at {display.url} — ctrl-c to exit", file=sys.stderr)
+            try:
+                while True:
+                    time.sleep(1)
+            except KeyboardInterrupt:
+                pass
+        display.close()
 
 
 def cmd_render_dist(args):
@@ -289,6 +311,13 @@ def main(argv=None):
     p.add_argument("--resort", type=int, default=0, metavar="K",
                    help="re-sort wavefront lanes every K pool iterations "
                         "(secondary-ray coherence for --accel culled; 0 = off)")
+    p.add_argument("--display", action="store_true",
+                   help="serve a live progressive view over HTTP (the "
+                        "reference's minifb window, client.rs:79-121)")
+    p.add_argument("--display-port", type=int, default=8642,
+                   help="port for --display (0 = ephemeral)")
+    p.add_argument("--display-linger", action="store_true",
+                   help="keep serving the final frame after the render ends")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("render-dist", help="mesh-sharded render (all devices)")

@@ -159,14 +159,17 @@ def _forward_tape(
 
         seed_base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
 
-    # planar=True: component-planar ray/color buffers (1-D gathers and
-    # scatters — wins at renderer scale where the [total,3] tiled-layout
-    # row scatter dominates; at grad-path pool sizes the extra per-op
-    # dispatch costs more than it saves, so the default is row layout)
-    if planar:
-        rays_p = tuple(ray_o[:, c] for c in range(3)) + tuple(
-            ray_d[:, c] for c in range(3)
-        )
+    # Refill reads rays through a [B]-row dynamic-slice WINDOW at the
+    # emitted counter instead of gathering from the full [R,3] table: the
+    # taken ray ids are consecutive (emitted + rank), and a profiler trace
+    # at R=262144/B=8192 showed the two full-table row gathers cost
+    # 110 us/iteration EACH (~13 ns/row HBM gather) — 2.75x the fused
+    # bounce kernel.  A window slice plus a local [B]-row gather runs at
+    # small-table gather cost (~1.5 ns/row).  Rays are padded by B rows so
+    # the slice never clamps (clamping would silently shift the window).
+    pad = jnp.zeros((b, 3), ray_o.dtype)
+    ray_o_w = jnp.concatenate([ray_o, pad])
+    ray_d_w = jnp.concatenate([ray_d, pad])
 
     ft = ray_o.dtype  # f32 in production; f64 under x64 oracle checks
     tape0 = _Tape(
@@ -184,11 +187,10 @@ def _forward_tape(
         take = free & (rank < remaining)
         nr = jnp.clip(emitted + jnp.where(take, rank, 0), 0, r - 1)
         tk = take[:, None]
-        if planar:
-            new_o = jnp.stack([rays_p[c][nr] for c in range(3)], axis=-1)
-            new_d = jnp.stack([rays_p[3 + c][nr] for c in range(3)], axis=-1)
-        else:
-            new_o, new_d = ray_o[nr], ray_d[nr]
+        win_o = jax.lax.dynamic_slice_in_dim(ray_o_w, emitted, b, 0)
+        win_d = jax.lax.dynamic_slice_in_dim(ray_d_w, emitted, b, 0)
+        rk = jnp.clip(jnp.where(take, rank, 0), 0, b - 1)
+        new_o, new_d = win_o[rk], win_d[rk]
         o = jnp.where(tk, new_o, o)
         d = jnp.where(tk, new_d, d)
         atten = jnp.where(tk, 1.0, atten)
@@ -271,7 +273,7 @@ def _forward_tape(
         flat_contrib[jnp.clip(pos, 0, t_budget * b - 1)],
         0.0,
     )
-    return color, tape, n_it
+    return color, tape, n_it, pos
 
 
 def _local_f(o, d, atten, color, cw, rw, aw, fw, iw, mat, ruv, u, hit, active):
@@ -288,6 +290,7 @@ def _backward_tape(
     scene: Scene,
     tape: _Tape,
     n_it: jnp.ndarray,
+    pos: jnp.ndarray,
     g_color: jnp.ndarray,
     segsum: str = "scatter",
     planar: bool = False,
@@ -298,12 +301,28 @@ def _backward_tape(
     iteration) or "matmul" (one-hot on the MXU: segment-sum as
     one_hot(seg)^T @ d_params — TPUs do matmuls far faster than
     random-index scatters).
+
+    pos [R] i32: per-ray flat tape position (it*B + lane) where the ray
+    finished, -1 for depth-exhausted rays (from the forward).  The color
+    cotangent is scattered ONCE into a tape-flat buffer at these unique
+    positions and each backward iteration reads its [B,3] slice densely —
+    a trace at R=262144/B=8192 showed the per-iteration
+    g_color[lane_ray] full-table gather this replaces cost 68 us/iter
+    (9.5 ms of a 15.3 ms backward).
     """
     r = g_color.shape[0]
     b = tape.fdata.shape[1]
     n = scene.num_spheres
-    if planar:
-        g_color_p = tuple(g_color[:, c] for c in range(3))
+    t_budget = tape.fdata.shape[0]
+    flatn = t_budget * b
+    posc = jnp.where(pos >= 0, pos, flatn)
+    # always component-planar: a 2-D row scatter costs ~43 ns/row on TPU
+    # (measured +11 ms at R=262144) vs ~5 ns/row for 1-D scatter-sets
+    gc_flat = tuple(
+        jnp.zeros((flatn + 1,), g_color.dtype)
+        .at[posc].set(g_color[:, c], mode="drop", unique_indices=True)
+        for c in range(3)
+    )
 
     # ONE [N,10] winner-param table: per iteration a single 2-D row gather
     # replaces six per-field gathers — profiled on v5e, a 1-D gather from a
@@ -329,13 +348,16 @@ def _backward_tape(
             jax.lax.dynamic_index_in_dim(tape.idata, it, 0, keepdims=False),
         )
 
-        # color cotangent enters where the ray finished
-        lr = jnp.clip(rec.lane_ray, 0, r - 1)
-        if planar:
-            gcol = jnp.stack([g_color_p[c][lr] for c in range(3)], axis=-1)
-        else:
-            gcol = g_color[lr]
-        cot_c = jnp.where(rec.finished[:, None], gcol, 0.0)
+        # color cotangent enters where the ray finished: a dense [B,3]
+        # slice of the pre-scattered tape-flat buffer (zero everywhere a
+        # lane didn't finish, g_color[ray] exactly at its finish position)
+        cot_c = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(gc_flat[c], it * b, b, 0)
+                for c in range(3)
+            ],
+            axis=-1,
+        )
 
         g = param_tab[jnp.clip(rec.idx, 0, n - 1)]  # [B, 10] single row gather
         # numerically-safe values where the lane missed (results masked out)
@@ -475,22 +497,24 @@ def make_tape_tracer(
 
     @jax.custom_vjp
     def traced_k(scene, ray_o, ray_d, k):
-        color, _, _ = _forward_tape(
+        color, _, _, _ = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
             budget, planar,
         )
         return color
 
     def traced_fwd(scene, ray_o, ray_d, k):
-        color, tape, n_it = _forward_tape(
+        color, tape, n_it, pos = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
             budget, planar,
         )
-        return color, (scene, tape, n_it)
+        return color, (scene, tape, n_it, pos)
 
     def traced_bwd(res, g_color):
-        scene, tape, n_it = res
-        d_scene, g_o, g_d = _backward_tape(scene, tape, n_it, g_color, segsum, planar)
+        scene, tape, n_it, pos = res
+        d_scene, g_o, g_d = _backward_tape(
+            scene, tape, n_it, pos, g_color, segsum, planar
+        )
         import numpy as _np
 
         d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)

@@ -17,14 +17,15 @@ from distributed_raytracer_tpu.ops.pallas.intersect_kernel import closest_hit_pa
 
 scene = rtiow_final_scene(seed=0, pad_to=512)
 camera = final_scene_camera(image_width=1200, spp=500)
-n_rays = 65536
+n_rays = int(os.environ.get("DRAY_TRACE_RAYS", "65536"))
+pool = int(os.environ.get("DRAY_TRACE_POOL", "4096"))
 w = camera.image_width
 ids = jnp.asarray(np.arange(n_rays, dtype=np.int64) * camera.num_pixels // n_rays,
                   jnp.int32)
 ray_o, ray_d = jax.block_until_ready(
     generate_rays(camera, jax.random.PRNGKey(0), ids % w, ids // w)
 )
-tracer = make_tape_tracer(jax.random.PRNGKey(1), camera.max_depth, pool=4096,
+tracer = make_tape_tracer(jax.random.PRNGKey(1), camera.max_depth, pool=pool,
                           intersect_fn=closest_hit_pallas, use_fused=True,
                           segsum="matmul")
 

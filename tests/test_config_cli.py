@@ -91,3 +91,43 @@ def test_cli_shuffled_fill(tmp_path):
 
     img = read_ppm(out)
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_cli_live_display(tmp_path):
+    # --display serves progressive frames over HTTP while the render runs;
+    # after the final sample the last frame is the finished image
+    import json
+    import threading
+    import urllib.request
+
+    from distributed_raytracer_tpu.cli import main
+
+    out = str(tmp_path / "d.ppm")
+    seen = []
+
+    # poll stats.json from a side thread while the CLI renders
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                with urllib.request.urlopen(
+                    "http://127.0.0.1:18642/stats.json", timeout=2
+                ) as r:
+                    seen.append(json.loads(r.read()))
+            except Exception:
+                pass
+            stop.wait(0.01)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        main(["render", "--config", "config1", "--spp", "4", "--batch", "1",
+              "--width", "48", "--out", out, "--display",
+              "--display-port", "18642"])
+    finally:
+        stop.set()
+        t.join()
+    assert os.path.exists(out)
+    assert any(s["frames"] > 0 for s in seen), seen[:3]
+    assert seen[-1]["width"] == 48

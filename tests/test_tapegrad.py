@@ -36,13 +36,21 @@ def setup(width=24, depth=8):
     return scene, o, d
 
 
-@pytest.mark.parametrize("pool,segsum", [(64, "scatter"), (256, "scatter"), (64, "matmul")])
-def test_backward_matches_replay_autodiff(pool, segsum):
+@pytest.mark.parametrize(
+    "pool,segsum,planar",
+    [
+        (64, "scatter", False),
+        (256, "scatter", False),
+        (64, "matmul", False),
+        (64, "matmul", True),
+    ],
+)
+def test_backward_matches_replay_autodiff(pool, segsum, planar):
     scene, o, d = setup()
     key = jax.random.PRNGKey(3)
     depth = 8
 
-    color, tape, n_it = jax.jit(
+    color, tape, n_it, pos = jax.jit(
         lambda s, oo, dd: _forward_tape(s, oo, dd, key, depth, pool)
     )(scene, o, d)
     n_iters = int(n_it)
@@ -65,7 +73,7 @@ def test_backward_matches_replay_autodiff(pool, segsum):
     )(scene, o, d)
 
     d_scene, g_o, g_d = jax.jit(
-        lambda s, g: _backward_tape(s, tape, n_it, g, segsum)
+        lambda s, g: _backward_tape(s, tape, n_it, pos, g, segsum, planar)
     )(scene, g_color)
 
     # semantically exact: the same comparison under jax_enable_x64 agrees to
@@ -97,7 +105,7 @@ def test_tracer_end_to_end_matches_replay():
     assert np.isfinite(float(loss)) and float(loss) > 0
 
     # oracle: autodiff of the replay of the same recorded run
-    color, tape, n_it = _forward_tape(scene, o, d, key, 6, 128)
+    color, tape, n_it, _pos = _forward_tape(scene, o, d, key, 6, 128)
     n_iters = int(n_it)
 
     def oracle(s):
