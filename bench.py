@@ -60,7 +60,12 @@ def main():
     log(f"scene: {scene.num_spheres} spheres; {w}x{camera.image_height} depth {depth}")
     log(f"devices: {jax.devices()}")
 
-    n_rays = 65536
+    # 262144 primary rays strided over the whole image: a production
+    # config-4 image-grad step processes num_pixels (810k) rays per spp
+    # batch, so the grad benchmark batch matches production scale (the
+    # round-2 65,536-ray batch left the pool's drain tail unamortized and
+    # under-reported throughput by ~40%).
+    n_rays = 262144
     intersect = closest_hit_pallas if on_tpu else None
 
     # fwd: the production path — wavefront pool + fused Pallas intersect.
@@ -88,7 +93,7 @@ def main():
     tracer = make_tape_tracer(
         jax.random.PRNGKey(1),
         depth,
-        pool=4096,
+        pool=8192,
         intersect_fn=intersect if intersect else closest_hit,
         use_fused=on_tpu,
         segsum="matmul" if on_tpu else "scatter",

@@ -15,6 +15,7 @@ run_client.rs — everything hard-coded).  This CLI covers their roles:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -130,6 +131,15 @@ def cmd_render(args):
         ).start()
         print(f"live view: {display.url}", file=sys.stderr)
 
+    # fault injection (SURVEY §5: chaos between sample batches): fire ONCE
+    # per job — a marker file next to the checkpoint/output makes the fault
+    # one-shot so a supervised restart can run through
+    chaos_mode, chaos_at = (None, 0)
+    if args.chaos:
+        chaos_mode, chaos_at = args.chaos.split(":")
+        chaos_at = int(chaos_at)
+    chaos_marker = (args.checkpoint or out) + ".chaos"
+
     def progress(state):
         metrics.samples_done = state.samples_done
         metrics.add_rays(cam.num_pixels * args.batch)
@@ -139,10 +149,24 @@ def cmd_render(args):
             f"({cam.num_pixels * state.samples_done / el:,.0f} rays/s) [{engine}]",
             file=sys.stderr,
         )
+        if args.heartbeat:
+            with open(args.heartbeat, "w") as f:
+                f.write(str(state.samples_done))
         if args.snapshot_every and state.samples_done % args.snapshot_every == 0:
             write_ppm(out, state.mean_image())
         if display is not None:
             display.progress_cb()(state)
+        if chaos_mode and state.samples_done >= chaos_at and not os.path.exists(
+            chaos_marker
+        ):
+            with open(chaos_marker, "w") as f:
+                f.write(chaos_mode)
+            if chaos_mode == "crash":
+                print("chaos: crashing", file=sys.stderr)
+                os._exit(13)
+            elif chaos_mode == "hang":
+                print("chaos: hanging", file=sys.stderr)
+                time.sleep(3600)
 
     fill_cb = None
     if args.fill == "shuffled" and args.snapshot_every:
@@ -182,6 +206,30 @@ def cmd_render(args):
             except KeyboardInterrupt:
                 pass
         display.close()
+
+
+def cmd_supervise(args):
+    from distributed_raytracer_tpu.utils.supervise import Supervisor
+
+    child = args.child
+    if child and child[0] == "--":
+        child = child[1:]
+    hb = None
+    if "--heartbeat" in child:
+        hb = child[child.index("--heartbeat") + 1]
+    sup = Supervisor(
+        child,
+        heartbeat=hb,
+        stall_timeout=args.stall_timeout,
+        max_restarts=args.max_restarts,
+    )
+    res = sup.run()
+    print(
+        f"supervise: exit {res.exit_code} after {res.restarts} restart(s) "
+        f"({','.join(res.events)})",
+        file=sys.stderr,
+    )
+    sys.exit(res.exit_code)
 
 
 def cmd_render_dist(args):
@@ -318,7 +366,26 @@ def main(argv=None):
                    help="port for --display (0 = ephemeral)")
     p.add_argument("--display-linger", action="store_true",
                    help="keep serving the final frame after the render ends")
+    p.add_argument("--heartbeat", default=None, metavar="PATH",
+                   help="touch PATH every progress step (stall detection "
+                        "for `supervise`)")
+    p.add_argument("--chaos", default=None, metavar="MODE:N",
+                   help="fault injection: crash:N / hang:N fires once when "
+                        "N samples are done (one-shot via a marker file)")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser(
+        "supervise",
+        help="run a render under failure detection: restart on death, "
+             "kill+restart on heartbeat stall (the reference's per-RPC "
+             "timeout/failover, ray_server.rs:62-86, at process scope)")
+    p.add_argument("--max-restarts", type=int, default=5)
+    p.add_argument("--stall-timeout", type=float, default=None,
+                   help="seconds of heartbeat silence before kill+restart "
+                        "(requires --heartbeat in the child args)")
+    p.add_argument("child", nargs=argparse.REMAINDER,
+                   help="-- render <flags...> (include --checkpoint)")
+    p.set_defaults(fn=cmd_supervise)
 
     p = sub.add_parser("render-dist", help="mesh-sharded render (all devices)")
     _add_common(p)
