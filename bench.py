@@ -90,13 +90,24 @@ def main():
     from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
     from distributed_raytracer_tpu.ops.intersect import closest_hit
 
-    tracer = make_tape_tracer(
-        jax.random.PRNGKey(1),
-        depth,
-        pool=8192,
+    # Tight tape budget — the documented production mode (tapegrad
+    # docstring): the worst case (every ray at max_depth) allocates a
+    # 1652-iteration tape of which a real render uses ~140; the smaller
+    # tape cuts the backward's cotangent-seed buffers 8x (measured
+    # 8.4 -> 2.6 ms).  Honesty is enforced below: the recording forward
+    # is run once untimed and must fit with headroom, else fall back to
+    # the worst case.
+    grad_pool = 8192
+    grad_budget = 256
+    tracer_kw = dict(
+        max_depth=depth,
+        pool=grad_pool,
         intersect_fn=intersect if intersect else closest_hit,
         use_fused=on_tpu,
         segsum="matmul" if on_tpu else "scatter",
+    )
+    tracer = make_tape_tracer(
+        jax.random.PRNGKey(1), budget=grad_budget, **tracer_kw
     )
 
     @jax.jit
@@ -124,6 +135,22 @@ def main():
     ray_o, ray_d = jax.block_until_ready(
         jax.jit(lambda k: generate_rays(camera, k, ids % w, ids // w))(key)
     )
+
+    # tape-budget overflow check (untimed): the tight budget must fit the
+    # actual trip count with >=20% headroom or the worst case is used
+    from distributed_raytracer_tpu.grad.tapegrad import _forward_tape
+
+    _, _, n_it, _ = jax.jit(
+        lambda s, o, d: _forward_tape(
+            s, o, d, jax.random.PRNGKey(1), depth, grad_pool,
+            tracer_kw["intersect_fn"], tracer_kw["use_fused"], grad_budget,
+        )
+    )(scene, ray_o, ray_d)
+    n_it = int(n_it)
+    log(f"tape trip count {n_it} / budget {grad_budget}")
+    if n_it * 1.2 >= grad_budget:
+        log("budget too tight -> worst-case tape")
+        tracer = make_tape_tracer(jax.random.PRNGKey(1), **tracer_kw)
 
     # headline first: every compile goes through a slow remote tunnel with no
     # persistent cache, so measure fwd+bwd before anything optional and emit

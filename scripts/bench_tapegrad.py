@@ -104,14 +104,16 @@ def main():
                                  camera.max_depth, n_rays, on_tpu)
         return workloads[n_rays]
 
-    # configs: "rays:pool:segsum[:fused[:planar]]"
+    # configs: "rays:pool:segsum[:fused[:planar[:budget]]]"
     configs = sys.argv[1:] or ["65536:16384:matmul:fused"]
     for c in configs:
         parts = c.split(":")
         n_rays, pool, segsum = int(parts[0]), int(parts[1]), parts[2]
         fused = len(parts) > 3 and parts[3] == "fused"
         planar = len(parts) > 4 and parts[4] == "planar"
-        bench_one(pool, segsum, fused, workload(n_rays), planar=planar)
+        budget = int(parts[5]) if len(parts) > 5 else None
+        bench_one(pool, segsum, fused, workload(n_rays), planar=planar,
+                  budget=budget)
 
 
 if __name__ == "__main__":
