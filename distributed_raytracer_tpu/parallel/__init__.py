@@ -9,6 +9,7 @@ from distributed_raytracer_tpu.parallel.mesh import (  # noqa: F401
 from distributed_raytracer_tpu.parallel.sharded import (  # noqa: F401
     ShardedRenderer,
     make_sharded_grad_fn,
+    make_tape_dp_tracer,
 )
 from distributed_raytracer_tpu.parallel.scene_sharded import (  # noqa: F401
     closest_hit_sharded,

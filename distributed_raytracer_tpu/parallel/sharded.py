@@ -158,3 +158,63 @@ def make_sharded_grad_fn(mesh: Mesh, camera: Camera):
         )
 
     return grad_fn
+
+
+def make_tape_dp_tracer(
+    mesh: Mesh,
+    key: jax.Array,
+    max_depth: int,
+    pool: int = 4096,
+    intersect_fn=None,
+    use_fused: bool = False,
+    segsum: str = "scatter",
+    budget=None,
+):
+    """The PRODUCTION gradient path (grad/tapegrad.py reverse-tape
+    wavefront) data-parallel over the mesh "rays" axis.
+
+    Each device runs its own persistent-pool recording wavefront on its
+    ray shard inside `shard_map` — pool refill is a per-device counter,
+    so sharding needs no changes to the tracer, exactly like the
+    reference's 5 ray servers each driving their own rays' bounce loops
+    independently (ray_server.rs:46-106).  The scene is replicated
+    (in_spec P()); differentiating OUTSIDE the shard_map makes its
+    transpose psum the per-device scene cotangents across the mesh — the
+    only collective in the whole fwd+bwd step.
+
+    Per-device noise: the tracer key is folded with the device's
+    axis_index, so shard i's draws equal a single-device run of the same
+    tracer on shard i's rays with fold_in(key, i) — the exact-match
+    oracle used by tests/test_parallel.py.
+
+    Returns f(scene, ray_o [R,3], ray_d [R,3]) -> colors [R,3]; R must be
+    divisible by the rays-axis size.  f is differentiable w.r.t. scene
+    and rays.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+    from distributed_raytracer_tpu.ops.intersect import closest_hit
+
+    tracer = make_tape_tracer(
+        key,
+        max_depth,
+        pool=pool,
+        intersect_fn=intersect_fn or closest_hit,
+        use_fused=use_fused,
+        segsum=segsum,
+        budget=budget,
+    )
+
+    def local(scene, o, d):
+        k = jax.random.fold_in(key, jax.lax.axis_index(RAYS_AXIS))
+        return tracer(scene, o, d, k)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS)),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )

@@ -248,3 +248,59 @@ def test_gather_params_sharded_matches_gather():
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-6, err_msg=k
         )
+
+
+def test_tape_dp_tracer_exact_match_and_grads():
+    # the PRODUCTION grad path (reverse-tape wavefront) sharded over the
+    # rays axis: colors and scene-gradients must EXACTLY equal running the
+    # same tracer per shard on one device (the reference's 5 independent
+    # ray servers, ray_server.rs:46-106, as shard_map)
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+    from distributed_raytracer_tpu.parallel import make_tape_dp_tracer
+
+    scene, cam = scene_and_cam()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    r = 64 * n_dev
+    ids = jnp.arange(r, dtype=jnp.int32)
+    o, d = generate_rays(
+        cam, jax.random.PRNGKey(5), ids % cam.image_width, ids // cam.image_width
+    )
+    key = jax.random.PRNGKey(9)
+    depth, pool = 6, 32
+
+    dp = make_tape_dp_tracer(mesh, key, depth, pool=pool)
+    colors_dp = jax.jit(dp)(scene, o, d)
+
+    # oracle: per-shard single-device runs with the same folded keys
+    local = make_tape_tracer(key, depth, pool=pool)
+    shard = r // n_dev
+    parts = [
+        local(scene, o[i * shard:(i + 1) * shard], d[i * shard:(i + 1) * shard],
+              jax.random.fold_in(key, i))
+        for i in range(n_dev)
+    ]
+    colors_ref = jnp.concatenate(parts)
+    np.testing.assert_array_equal(np.asarray(colors_dp), np.asarray(colors_ref))
+
+    # gradients: psum of per-shard cotangents == sum of local grads
+    g_dp = jax.jit(
+        jax.grad(lambda s: jnp.sum(dp(s, o, d) ** 2), allow_int=True)
+    )(scene)
+    fields = ("centers", "radii", "albedo", "fuzz", "ior")
+    g_ref = {f: 0.0 for f in fields}  # mat_type's float0 grad is skipped
+    for i in range(n_dev):
+        gi = jax.grad(
+            lambda s: jnp.sum(
+                local(s, o[i * shard:(i + 1) * shard],
+                      d[i * shard:(i + 1) * shard],
+                      jax.random.fold_in(key, i)) ** 2
+            ),
+            allow_int=True,
+        )(scene)
+        for f in fields:
+            g_ref[f] = g_ref[f] + np.asarray(getattr(gi, f))
+    for name in fields:
+        a, b = np.asarray(getattr(g_dp, name)), g_ref[name]
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)
