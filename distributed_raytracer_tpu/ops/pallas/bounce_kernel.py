@@ -8,8 +8,16 @@ trips.  This kernel fuses the whole of `ops/trace.bounce_step`
 
   - grid = (ray blocks, sphere chunks); during the chunk sweep the kernel
     keeps not just the running (t, idx) but the WINNING SPHERE'S ATTRIBUTES
-    as (1, BR) lane rows, updated under the same `better` mask — no gather
-    ever happens; selection rides the sweep.
+    as a (16, BR) VMEM block, updated under the same `better` mask — no
+    gather ever happens; selection rides the sweep.  The per-chunk winner
+    attributes come from ONE MXU matmul, attrs[48, CHUNK] @ one_hot[CHUNK,
+    BR], replacing ten masked [CHUNK, BR] max-reductions that were ~40% of
+    the sweep's VPU issue slots (profiled on v5e).  EXACTNESS without the
+    6-pass f32 decomposition (HIGHEST precision measured +10 us/grid-cell —
+    poison): each f32 attribute is pre-split host-side into three bf16
+    planes (hi/mid/lo, 8+8+8 >= 24 mantissa bits), the one-hot is exactly
+    representable in bf16, MXU products accumulate in f32, and the kernel
+    recombines hi+mid+lo — a bit-exact select at DEFAULT-precision cost.
   - on the last chunk it shades in-kernel: surface geometry, Lambertian/
     metal/dielectric scatter with the on-core PRNG (Box-Muller gaussians
     from pltpu.prng_random_bits), absorb/transparent handling, sky color
@@ -75,17 +83,24 @@ def _u01(shape):
     return jnp.clip(u, 1e-7, 1.0 - 1e-7)
 
 
+# winner-attribute row indices in the [16, CHUNK] attr matrix / the
+# [16, BR] winner carry (rows 11-15 are alignment padding)
+_A_CX, _A_CY, _A_CZ, _A_RR = 0, 1, 2, 3
+_A_AR, _A_AG, _A_AB, _A_FZ, _A_IO, _A_MT, _A_IDX = 4, 5, 6, 7, 8, 9, 10
+_A_ROWS = 16
+
+
 def _bounce_kernel(
     seed_ref,                                            # [1,1] SMEM int32
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,      # [1,BR]
     act_ref,                                              # [1,BR] int32
-    cx_ref, cy_ref, cz_ref, rr_ref, r2_ref,               # [CHUNK,1]
-    ar_ref, ag_ref, ab_ref, fz_ref, io_ref, mt_ref,       # [CHUNK,1]
+    cx_ref, cy_ref, cz_ref, r2_ref,                       # [CHUNK,1] sweep cols
+    attr_ref,                                             # [48,CHUNK] bf16 attr planes
     t_ref,                                                # [1,BR] out (hit test)
     no_x, no_y, no_z, nd_x, nd_y, nd_z,                   # [1,BR] next ray
     at_r, at_g, at_b, co_r, co_g, co_b, fin,              # [1,BR]
     i_out, ru_x, ru_y, ru_z, u_out,                       # [1,BR] idx + draws
-    wcx, wcy, wcz, wrr, war, wag, wab, wfz, wio, wmt,     # [1,BR] VMEM scratch:
+    w_ref,                                                # [16,BR] VMEM scratch:
     # winner-attribute carry (persists across the sequential TPU grid;
     # re-initialized at chunk 0 of every ray block)
     *, chunk: int, n_chunks: int,
@@ -95,26 +110,22 @@ def _bounce_kernel(
     @pl.when(ci == 0)
     def _init():
         t_ref[:] = jnp.full_like(t_ref, BIG)
-        wmt[:] = jnp.full_like(wmt, float(ABSORB))
-        i_out[:] = jnp.zeros_like(i_out)
-        wcx[:] = jnp.zeros_like(wcx)
-        wcy[:] = jnp.zeros_like(wcy)
-        wcz[:] = jnp.zeros_like(wcz)
-        wrr[:] = jnp.ones_like(wrr)
-        war[:] = jnp.zeros_like(war)
-        wag[:] = jnp.zeros_like(wag)
-        wab[:] = jnp.zeros_like(wab)
-        wfz[:] = jnp.zeros_like(wfz)
-        wio[:] = jnp.ones_like(wio)
+        # per-row defaults: rr/io -> 1 (safe divisors), mt -> ABSORB, rest 0
+        rows = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 0)
+        w_ref[:] = jnp.where(
+            (rows == _A_RR) | (rows == _A_IO),
+            1.0,
+            jnp.where(rows == _A_MT, float(ABSORB), 0.0),
+        )
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
 
-    # ---- sweep this chunk, carrying winner attributes ----
+    # ---- sweep this chunk ----
     cx, cy, cz = cx_ref[:], cy_ref[:], cz_ref[:]
-    rr, r2 = rr_ref[:], r2_ref[:]
+    r2 = r2_ref[:]
     ocx = cx - ox
     ocy = cy - oy
     ocz = cz - oz
@@ -137,25 +148,27 @@ def _bounce_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
     sel = (row == i_min) & (t_c < BIG * 0.5)  # (CHUNK, BR) one-hot winner mask
 
-    def pick(col_ref, current):
-        # winner attribute for this chunk via masked max-reduction (values
-        # are gated by the one-hot sel, so the max is just a row select)
-        v = jnp.max(jnp.where(sel, col_ref[:], -3.4e38), axis=0, keepdims=True)
-        return jnp.where(t_c < t_ref[:], v, current)
+    # All ten winner attributes (and the global sphere index, row _A_IDX) in
+    # ONE MXU matmul: attrs[48, CHUNK] @ one_hot[CHUNK, BR], bf16 operands,
+    # f32 accumulation.  Exact: the one-hot is exact in bf16, each product
+    # is attr_plane * 1.0, and the hi/mid/lo planes (split host-side) sum
+    # back to the f32 attribute bit-for-bit.  When no sphere in the chunk
+    # hits, sel is all-zero -> wa is zero, and `better` is false.
+    selm = jnp.where(sel, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    wa3 = jax.lax.dot_general(
+        attr_ref[:],
+        selm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [48, BR] = the three bf16 planes, selected
+    wa = (
+        wa3[0:_A_ROWS]
+        + wa3[_A_ROWS:2 * _A_ROWS]
+        + wa3[2 * _A_ROWS:3 * _A_ROWS]
+    )  # [16, BR]
 
     better = t_c < t_ref[:]
-    wcx[:] = pick(cx_ref, wcx[:])
-    wcy[:] = pick(cy_ref, wcy[:])
-    wcz[:] = pick(cz_ref, wcz[:])
-    wrr[:] = pick(rr_ref, wrr[:])
-    war[:] = pick(ar_ref, war[:])
-    wag[:] = pick(ag_ref, wag[:])
-    wab[:] = pick(ab_ref, wab[:])
-    wfz[:] = pick(fz_ref, wfz[:])
-    wio[:] = pick(io_ref, wio[:])
-    wmt[:] = pick(mt_ref, wmt[:])
-    i_chunk = i_min + ci * chunk
-    i_out[:] = jnp.where(better, i_chunk, i_out[:])
+    w_ref[:] = jnp.where(better, wa, w_ref[:])
     t_ref[:] = jnp.where(better, t_c, t_ref[:])
 
     # ---- after the last chunk: shade ----
@@ -166,13 +179,20 @@ def _bounce_kernel(
         hit = (t_ref[:] < BIG * 0.5) & (act_ref[:] > 0)
         th = jnp.where(hit, t_ref[:], 1.0)
 
+        w = w_ref[:]  # [16, BR] winner attributes, one load
+        wcx, wcy, wcz = w[_A_CX:_A_CX + 1], w[_A_CY:_A_CY + 1], w[_A_CZ:_A_CZ + 1]
+        wrr = w[_A_RR:_A_RR + 1]
+        war, wag, wab = w[_A_AR:_A_AR + 1], w[_A_AG:_A_AG + 1], w[_A_AB:_A_AB + 1]
+        wfz, wio = w[_A_FZ:_A_FZ + 1], w[_A_IO:_A_IO + 1]
+        i_out[:] = w[_A_IDX:_A_IDX + 1].astype(jnp.int32)
+
         px = ox + th * dx
         py = oy + th * dy
         pz = oz + th * dz
-        saferr = jnp.where(wrr[:] > 0.0, wrr[:], 1.0)
-        nx = (px - wcx[:]) / saferr
-        ny = (py - wcy[:]) / saferr
-        nz = (pz - wcz[:]) / saferr
+        saferr = jnp.where(wrr > 0.0, wrr, 1.0)
+        nx = (px - wcx) / saferr
+        ny = (py - wcy) / saferr
+        nz = (pz - wcz) / saferr
         d_dot_n = dx * nx + dy * ny + dz * nz
         front = d_dot_n < 0.0
         fs = jnp.where(front, 1.0, -1.0)
@@ -207,13 +227,13 @@ def _bounce_kernel(
         ry = dy - 2.0 * d_dot_n * fs * ny
         rz = dz - 2.0 * d_dot_n * fs * nz
         rinv = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz + 1e-20)
-        mx = rx * rinv + wfz[:] * rux
-        my = ry * rinv + wfz[:] * ruy
-        mz = rz * rinv + wfz[:] * ruz
+        mx = rx * rinv + wfz * rux
+        my = ry * rinv + wfz * ruy
+        mz = rz * rinv + wfz * ruz
         metal_ok = (mx * nx + my * ny + mz * nz) > 0.0
 
         # Dielectric (material.rs:103-122)
-        ior = jnp.where(wio[:] > 0.0, wio[:], 1.0)
+        ior = jnp.where(wio > 0.0, wio, 1.0)
         ri = jnp.where(front, 1.0 / ior, ior)
         dinv = jax.lax.rsqrt(a)
         ux, uy, uz = dx * dinv, dy * dinv, dz * dinv
@@ -243,7 +263,7 @@ def _bounce_kernel(
         diely = jnp.where(choose_refl, gy, fy)
         dielz = jnp.where(choose_refl, gz, fz2)
 
-        mt = wmt[:]  # material code as f32 (exact small ints)
+        mt = w[_A_MT:_A_MT + 1]  # material code as f32 (exact small ints)
         is_lam = mt == LAMBERTIAN
         is_met = mt == METAL
         is_die = mt == DIELECTRIC
@@ -253,10 +273,10 @@ def _bounce_kernel(
         ndx = jnp.where(is_lam, lx, jnp.where(is_met, mx, jnp.where(is_die, dielx, dx)))
         ndy = jnp.where(is_lam, ly, jnp.where(is_met, my, jnp.where(is_die, diely, dy)))
         ndz = jnp.where(is_lam, lz, jnp.where(is_met, mz, jnp.where(is_die, dielz, dz)))
-        white = jnp.ones_like(war[:])
-        attr = jnp.where(is_die | is_tra, white, war[:])
-        attg = jnp.where(is_die | is_tra, white, wag[:])
-        attb = jnp.where(is_die | is_tra, white, wab[:])
+        white = jnp.ones_like(war)
+        attr = jnp.where(is_die | is_tra, white, war)
+        attg = jnp.where(is_die | is_tra, white, wag)
+        attb = jnp.where(is_die | is_tra, white, wab)
         # pure i1 logic: where() with bool literal vectors trips Mosaic's
         # integer-truncation lowering
         scattered = (~is_abs) & (metal_ok | ~is_met)
@@ -313,23 +333,54 @@ def fused_bounce(
     m = -(-n0 // chunk) * chunk
     pad_s = m - n0
 
+    def spad(x, fill=0.0):
+        return jnp.pad(x, (0, pad_s), constant_values=fill)
+
     def scol(x, fill=0.0):
-        return jnp.pad(x, (0, pad_s), constant_values=fill).reshape(m, 1)
+        return spad(x, fill).reshape(m, 1)
 
     r2 = jnp.where(scene.radii > 0.0, scene.radii * scene.radii, -1.0)
+    # sweep columns ([m,1], spheres on sublanes): only the quadratic's inputs
     scene_cols = [
         scol(scene.centers[:, 0]),
         scol(scene.centers[:, 1]),
         scol(scene.centers[:, 2]),
-        scol(scene.radii),
         scol(r2, fill=-1.0),
-        scol(scene.albedo[:, 0]),
-        scol(scene.albedo[:, 1]),
-        scol(scene.albedo[:, 2]),
-        scol(scene.fuzz),
-        scol(scene.ior, fill=1.0),
-        scol(scene.mat_type.astype(jnp.float32), fill=float(ABSORB)),
     ]
+    # attribute matrix for the in-kernel winner matmul: [16, m] with spheres
+    # on LANES (the matmul contracts over the chunk), split into three bf16
+    # planes (hi/mid/lo — exact 24-bit f32 reconstruction) and chunk-blocked
+    # to [n_chunks*48, chunk] so a BlockSpec can stream one [48, chunk] tile
+    # per grid step alongside the sweep columns
+    zero_m = jnp.zeros((m,), jnp.float32)
+    attr_rows = jnp.stack(
+        [
+            spad(scene.centers[:, 0]),
+            spad(scene.centers[:, 1]),
+            spad(scene.centers[:, 2]),
+            spad(scene.radii, fill=1.0),
+            spad(scene.albedo[:, 0]),
+            spad(scene.albedo[:, 1]),
+            spad(scene.albedo[:, 2]),
+            spad(scene.fuzz),
+            spad(scene.ior, fill=1.0),
+            spad(scene.mat_type.astype(jnp.float32), fill=float(ABSORB)),
+            jnp.arange(m, dtype=jnp.float32),  # global sphere index (exact in f32)
+        ]
+        + [zero_m] * (_A_ROWS - 11),
+        axis=0,
+    )  # [16, m]
+    hi = attr_rows.astype(jnp.bfloat16)
+    r1 = attr_rows - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    planes = jnp.concatenate([hi, mid, lo], axis=0)  # [48, m] bf16
+    n_chunks_s = m // chunk
+    attrs = (
+        planes.reshape(3 * _A_ROWS, n_chunks_s, chunk)
+        .transpose(1, 0, 2)
+        .reshape(n_chunks_s * 3 * _A_ROWS, chunk)
+    )
 
     br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
     pad_r = (-r) % br
@@ -347,6 +398,9 @@ def fused_bounce(
     n_chunks = m // chunk
     ray_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     scene_spec = pl.BlockSpec((chunk, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    attr_spec = pl.BlockSpec(
+        (3 * _A_ROWS, chunk), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+    )
     out_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     f32 = jnp.float32
     i32 = jnp.int32
@@ -363,11 +417,12 @@ def fused_bounce(
         grid=(rp // br, n_chunks),
         in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)]
         + [ray_spec] * 7
-        + [scene_spec] * 11,
+        + [scene_spec] * 4
+        + [attr_spec],
         out_specs=[out_spec] * 19,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((1, br), jnp.float32)] * 10,
-    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), *rows, *scene_cols)
+        scratch_shapes=[pltpu.VMEM((_A_ROWS, br), jnp.float32)],
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), *rows, *scene_cols, attrs)
 
     (t_row, nox, noy, noz, ndx, ndy, ndz,
      atr, atg, atb, cor, cog, cob, finished,
