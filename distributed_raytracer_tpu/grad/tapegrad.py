@@ -121,8 +121,18 @@ def _unpack_rec(f: jnp.ndarray, i: jnp.ndarray) -> _Rec:
     )
 
 
-def tape_budget(n_rays: int, max_depth: int, pool: int) -> int:
-    return -(-n_rays * max_depth // pool) + max_depth + 2
+def tape_budget(
+    n_rays: int, max_depth: int, pool: int, refill_every: int = 1
+) -> int:
+    """Worst-case tape rows.  With refill_every=k > 1, a lane that finishes
+    mid-block idles up to k-1 rows before the next refill (+ r*(k-1)/b rows
+    worst case) and the drain tail can overshoot by up to k-1 rows; the
+    result is rounded up to a multiple of k so the outer loop can use the
+    whole allocation."""
+    k = refill_every
+    base = -(-n_rays * (max_depth + k - 1) // pool)
+    raw = base + max_depth + k + 2
+    return -(-raw // k) * k
 
 
 def _forward_tape(
@@ -136,6 +146,7 @@ def _forward_tape(
     use_fused: bool = False,
     budget: Optional[int] = None,
     planar: bool = False,
+    refill_every: int = 1,
 ):
     """Recording wavefront forward.
 
@@ -149,10 +160,20 @@ def _forward_tape(
     so production callers pass a tight budget and check for overflow
     (n_it == budget with work remaining would truncate gradients — the
     tracer's caller re-runs with the worst case if flagged).
+
+    refill_every: bounces per refill.  The refill machinery (window slice +
+    local gathers + merges) and the finish-position scatter cost ~85 us per
+    pool iteration at B=8192 on v5e — comparable to the fused bounce kernel
+    itself.  Running k bounces per refill pays them once per k tape rows; a
+    lane whose ray finishes mid-block idles until the block ends (~+12%
+    bounce slots at k=2 on the RTiOW workload — a net win, measured).  The
+    TAPE FORMAT IS UNCHANGED: rows where a dead lane idles carry live=False
+    and are pass-through in the backward and the oracle replay.
     """
     r = ray_o.shape[0]
     b = min(pool, r)
-    t_budget = budget if budget is not None else tape_budget(r, max_depth, b)
+    k_sub = max(1, refill_every)
+    t_budget = budget if budget is not None else tape_budget(r, max_depth, b, k_sub)
 
     if use_fused:
         from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
@@ -180,7 +201,8 @@ def _forward_tape(
     def body(carry):
         (o, d, atten, lane_ray, lane_depth, live, emitted, pos, tape, it) = carry
 
-        # --- refill free lanes from the ray queue (rank by cumsum) ---
+        # --- refill free lanes from the ray queue (rank by cumsum);
+        # paid ONCE per k_sub bounces ---
         free = ~live
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1
         remaining = r - emitted
@@ -199,57 +221,69 @@ def _forward_tape(
         live = live | take
         emitted = emitted + jnp.sum(take, dtype=jnp.int32)
 
-        # --- one bounce for the pool ---
-        if use_fused:
-            res = fused_bounce(o, d, live, scene, seed_base + it * jnp.int32(65537))
-            hit = res.hit & live
-            idx, ruv, u = res.idx, res.ruv, res.u
-            fin = (res.finished == 1) & live
-            keep = live & ~fin
-            o2 = jnp.where(keep[:, None], res.new_o, o)
-            d2 = jnp.where(keep[:, None], res.new_d, d)
-            atten2 = jnp.where(keep[:, None], atten * res.atten, atten)
-            contrib = atten * res.color
-        else:
-            res = intersect_fn(o, d, scene)
-            hit = res.hit & live
-            idx = res.idx
-            params = _gather_params(scene, idx, hit)
-            ruv, u = _draws(jax.random.split(jax.random.fold_in(key, it), b))
-            ruv, u = ruv.astype(ft), u.astype(ft)
-            zero_c = jnp.zeros((b, 3), ft)
-            o2, d2, atten2, contrib, keep = _local_bounce(
-                o, d, atten, zero_c, params, ruv, u, hit, live
+        # --- k_sub bounces for the pool; a lane that finishes mid-block
+        # idles (live=False rows are pass-through in the backward) ---
+        lane_iota = jnp.arange(b, dtype=jnp.int32)
+        fin_flat = jnp.full((b,), -1, jnp.int32)  # tape-flat finish position
+        for s in range(k_sub):
+            it_s = it + s
+            if use_fused:
+                res = fused_bounce(
+                    o, d, live, scene, seed_base + it_s * jnp.int32(65537)
+                )
+                hit = res.hit & live
+                idx, ruv, u = res.idx, res.ruv, res.u
+                fin = (res.finished == 1) & live
+                keep = live & ~fin
+                o2 = jnp.where(keep[:, None], res.new_o, o)
+                d2 = jnp.where(keep[:, None], res.new_d, d)
+                atten2 = jnp.where(keep[:, None], atten * res.atten, atten)
+                contrib = atten * res.color
+            else:
+                res = intersect_fn(o, d, scene)
+                hit = res.hit & live
+                idx = res.idx
+                params = _gather_params(scene, idx, hit)
+                ruv, u = _draws(jax.random.split(jax.random.fold_in(key, it_s), b))
+                ruv, u = ruv.astype(ft), u.astype(ft)
+                zero_c = jnp.zeros((b, 3), ft)
+                o2, d2, atten2, contrib, keep = _local_bounce(
+                    o, d, atten, zero_c, params, ruv, u, hit, live
+                )
+                fin = live & ~keep
+
+            lane_depth2 = lane_depth + live.astype(jnp.int32)
+            exhausted = keep & (lane_depth2 >= max_depth)
+
+            # --- record this bounce, contrib included (2 slice writes) ---
+            rec_f, rec_i = _pack_rec(_Rec(
+                o=o, d=d, atten=atten, idx=idx, lane_ray=lane_ray,
+                hit=hit, live=live, take=take, finished=fin, ruv=ruv, u=u,
+                contrib=contrib,
+            ))
+            tape = _Tape(
+                fdata=jax.lax.dynamic_update_index_in_dim(tape.fdata, rec_f, it_s, 0),
+                idata=jax.lax.dynamic_update_index_in_dim(tape.idata, rec_i, it_s, 0),
             )
-            fin = live & ~keep
+            # a lane finishes at most once per block (no refill mid-block)
+            fin_flat = jnp.where(fin, it_s * b + lane_iota, fin_flat)
+            o, d, atten = o2, d2, atten2
+            lane_depth = lane_depth2
+            live = keep & ~exhausted
+            take = jnp.zeros_like(take)  # only the first row of a block refills
 
-        lane_depth2 = lane_depth + live.astype(jnp.int32)
-        exhausted = keep & (lane_depth2 >= max_depth)
-
-        # --- record this iteration, contrib included (2 slice writes) ---
-        rec_f, rec_i = _pack_rec(_Rec(
-            o=o, d=d, atten=atten, idx=idx, lane_ray=lane_ray,
-            hit=hit, live=live, take=take, finished=fin, ruv=ruv, u=u,
-            contrib=contrib,
-        ))
-        tape = _Tape(
-            fdata=jax.lax.dynamic_update_index_in_dim(tape.fdata, rec_f, it, 0),
-            idata=jax.lax.dynamic_update_index_in_dim(tape.idata, rec_i, it, 0),
-        )
-
-        # --- drain: record only WHERE each ray finished (1-D int scatter;
-        # the colors themselves live on the tape and are gathered once at
-        # the end — scatters are ~30x/row costlier than gathers) ---
-        slot = jnp.where(fin, lane_ray, r + 1)
-        flat = it * b + jnp.arange(b, dtype=jnp.int32)
-        pos = pos.at[slot].set(flat, mode="drop", unique_indices=True)
-        live2 = keep & ~exhausted
-        return (o2, d2, atten2, lane_ray, lane_depth2, live2, emitted, pos,
-                tape, it + 1)
+        # --- drain: record only WHERE each ray finished (ONE 1-D int
+        # scatter per block; the colors themselves live on the tape and are
+        # gathered once at the end — scatters are ~30x/row costlier than
+        # gathers) ---
+        slot = jnp.where(fin_flat >= 0, lane_ray, r + 1)
+        pos = pos.at[slot].set(fin_flat, mode="drop", unique_indices=True)
+        return (o, d, atten, lane_ray, lane_depth, live, emitted, pos,
+                tape, it + k_sub)
 
     def cond(carry):
         live, emitted, it = carry[5], carry[6], carry[9]
-        return ((emitted < r) | jnp.any(live)) & (it < t_budget)
+        return ((emitted < r) | jnp.any(live)) & (it + k_sub <= t_budget)
 
     carry0 = (
         jnp.zeros((b, 3), ft),
@@ -490,6 +524,7 @@ def make_tape_tracer(
     segsum: str = "scatter",
     budget: Optional[int] = None,
     planar: bool = False,
+    refill_every: int = 1,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
     VJP.  The TPU production config is use_fused=True (fused bounce kernel
@@ -499,14 +534,14 @@ def make_tape_tracer(
     def traced_k(scene, ray_o, ray_d, k):
         color, _, _, _ = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar,
+            budget, planar, refill_every,
         )
         return color
 
     def traced_fwd(scene, ray_o, ray_d, k):
         color, tape, n_it, pos = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar,
+            budget, planar, refill_every,
         )
         return color, (scene, tape, n_it, pos)
 

@@ -169,6 +169,7 @@ def make_tape_dp_tracer(
     use_fused: bool = False,
     segsum: str = "scatter",
     budget=None,
+    refill_every: int = 1,
 ):
     """The PRODUCTION gradient path (grad/tapegrad.py reverse-tape
     wavefront) data-parallel over the mesh "rays" axis.
@@ -205,6 +206,7 @@ def make_tape_dp_tracer(
         use_fused=use_fused,
         segsum=segsum,
         budget=budget,
+        refill_every=refill_every,
     )
 
     def local(scene, o, d):

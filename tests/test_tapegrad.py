@@ -37,24 +37,32 @@ def setup(width=24, depth=8):
 
 
 @pytest.mark.parametrize(
-    "pool,segsum,planar",
+    "pool,segsum,planar,refill_every",
     [
-        (64, "scatter", False),
-        (256, "scatter", False),
-        (64, "matmul", False),
-        (64, "matmul", True),
+        (64, "scatter", False, 1),
+        (256, "scatter", False, 1),
+        (64, "matmul", False, 1),
+        (64, "matmul", True, 1),
+        # k-bounces-per-refill blocks: identical tape format, dead-lane rows
+        # are pass-through — the backward and oracle need no changes
+        (64, "matmul", False, 2),
+        (64, "scatter", False, 4),
     ],
 )
-def test_backward_matches_replay_autodiff(pool, segsum, planar):
+def test_backward_matches_replay_autodiff(pool, segsum, planar, refill_every):
     scene, o, d = setup()
     key = jax.random.PRNGKey(3)
     depth = 8
 
     color, tape, n_it, pos = jax.jit(
-        lambda s, oo, dd: _forward_tape(s, oo, dd, key, depth, pool)
+        lambda s, oo, dd: _forward_tape(
+            s, oo, dd, key, depth, pool, refill_every=refill_every
+        )
     )(scene, o, d)
     n_iters = int(n_it)
-    assert n_iters <= tape_budget(o.shape[0], depth, min(pool, o.shape[0]))
+    assert n_iters <= tape_budget(
+        o.shape[0], depth, min(pool, o.shape[0]), refill_every
+    )
 
     # the replay reproduces the recorded colors (to fusion-level fp noise:
     # while_loop and scan compile to differently-fused FMA orders)
