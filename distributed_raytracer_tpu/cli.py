@@ -222,6 +222,7 @@ def cmd_supervise(args):
         heartbeat=hb,
         stall_timeout=args.stall_timeout,
         max_restarts=args.max_restarts,
+        startup_grace=args.startup_grace,
     )
     res = sup.run()
     print(
@@ -383,6 +384,10 @@ def main(argv=None):
     p.add_argument("--stall-timeout", type=float, default=None,
                    help="seconds of heartbeat silence before kill+restart "
                         "(requires --heartbeat in the child args)")
+    p.add_argument("--startup-grace", type=float, default=None,
+                   help="stall window before an attempt's FIRST beat "
+                        "(startup = imports + jit compile; default "
+                        "4x --stall-timeout)")
     p.add_argument("child", nargs=argparse.REMAINDER,
                    help="-- render <flags...> (include --checkpoint)")
     p.set_defaults(fn=cmd_supervise)

@@ -146,15 +146,21 @@ def _bounce_kernel(
     # jnp.argmin's tie rule.  (A plain t == t_c mask could mix fields.)
     i_min = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]  # (1, BR)
     row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    sel = (row == i_min) & (t_c < BIG * 0.5)  # (CHUNK, BR) one-hot winner mask
 
     # All ten winner attributes (and the global sphere index, row _A_IDX) in
     # ONE MXU matmul: attrs[48, CHUNK] @ one_hot[CHUNK, BR], bf16 operands,
     # f32 accumulation.  Exact: the one-hot is exact in bf16, each product
     # is attr_plane * 1.0, and the hi/mid/lo planes (split host-side) sum
     # back to the f32 attribute bit-for-bit.  When no sphere in the chunk
-    # hits, sel is all-zero -> wa is zero, and `better` is false.
-    selm = jnp.where(sel, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    # hits, the one-hot is all-zero -> wa is zero, and `better` is false.
+    # The one-hot is built by f32 arithmetic (masks stay in 32-bit tiling)
+    # then cast: selecting bf16 literals under a (CHUNK, BR) i1 mask asks
+    # Mosaic for an i1 relayout (8,128)->(16,128) it cannot do ("Invalid
+    # relayout: non-singleton dim replicated in destination").
+    sel_f = (row == i_min).astype(jnp.float32) * (
+        t_c < BIG * 0.5
+    ).astype(jnp.float32)  # (CHUNK, BR) exact one-hot, first-min row only
+    selm = sel_f.astype(jnp.bfloat16)
     wa3 = jax.lax.dot_general(
         attr_ref[:],
         selm,

@@ -53,6 +53,7 @@ class Supervisor:
         stall_timeout: Optional[float] = None,
         max_restarts: int = 5,
         poll: float = 0.2,
+        startup_grace: Optional[float] = None,
         log=None,
     ):
         self.argv = list(argv)
@@ -60,6 +61,16 @@ class Supervisor:
         self.stall_timeout = stall_timeout
         self.max_restarts = max_restarts
         self.poll = poll
+        # Until an attempt's FIRST beat, the child is starting up (imports +
+        # jit compile — can exceed any reasonable stall_timeout on a loaded
+        # host), not looping; judge it by a longer window so a slow compile
+        # isn't killed as a stall.  After the first beat the strict
+        # stall_timeout applies.
+        self.startup_grace = (
+            startup_grace
+            if startup_grace is not None
+            else (stall_timeout * 4 if stall_timeout is not None else None)
+        )
         self._log = log or (lambda msg: print(f"[supervise] {msg}", file=sys.stderr))
         if stall_timeout is not None and heartbeat is None:
             raise ValueError("stall_timeout requires a heartbeat path")
@@ -73,14 +84,17 @@ class Supervisor:
             env=dict(os.environ),
         )
 
-    def _hb_age(self, started: float) -> float:
+    def _hb_age(self, started: float) -> tuple:
+        """(age_seconds, beaten): age since the last beat of THIS attempt
+        (or since child start when it hasn't beaten yet), and whether a
+        beat has been seen this attempt.  A beat left over from a PREVIOUS
+        attempt must not count for or against this child."""
         try:
             ref = os.path.getmtime(self.heartbeat)
         except OSError:
             ref = started  # no beat yet: measure from child start
-        # a beat left over from a PREVIOUS attempt must not count against
-        # this child — age is measured from its start until it first beats
-        return time.time() - max(ref, started)
+        beaten = ref > started
+        return time.time() - max(ref, started), beaten
 
     def run(self) -> SuperviseResult:
         restarts = 0
@@ -94,19 +108,20 @@ class Supervisor:
                 rc = child.poll()
                 if rc is not None:
                     break
-                if (
-                    self.stall_timeout is not None
-                    and self._hb_age(started) > self.stall_timeout
-                ):
-                    stalled = True
-                    self._log(
-                        f"heartbeat stalled > {self.stall_timeout}s; "
-                        f"killing pid {child.pid}"
-                    )
-                    child.send_signal(signal.SIGKILL)
-                    child.wait()
-                    rc = child.returncode
-                    break
+                if self.stall_timeout is not None:
+                    age, beaten = self._hb_age(started)
+                    limit = self.stall_timeout if beaten else self.startup_grace
+                    if age > limit:
+                        stalled = True
+                        self._log(
+                            f"heartbeat stalled > {limit}s"
+                            f"{'' if beaten else ' (startup)'}; "
+                            f"killing pid {child.pid}"
+                        )
+                        child.send_signal(signal.SIGKILL)
+                        child.wait()
+                        rc = child.returncode
+                        break
                 time.sleep(self.poll)
             if rc == 0 and not stalled:
                 events.append("ok")

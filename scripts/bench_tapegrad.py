@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 
 def bench_one(pool, segsum, use_fused, workload, split=True, budget=None,
-              planar=False):
+              planar=False, refill=1):
     from distributed_raytracer_tpu.grad.diff_render import image_loss
     from distributed_raytracer_tpu.grad.tapegrad import _forward_tape, make_tape_tracer
     from distributed_raytracer_tpu.ops.intersect import closest_hit
@@ -32,7 +32,7 @@ def bench_one(pool, segsum, use_fused, workload, split=True, budget=None,
     key = jax.random.PRNGKey(1)
     tracer = make_tape_tracer(
         key, depth, pool=pool, intersect_fn=ifn, use_fused=use_fused,
-        segsum=segsum, budget=budget, planar=planar,
+        segsum=segsum, budget=budget, planar=planar, refill_every=refill,
     )
 
     @jax.jit
@@ -57,13 +57,13 @@ def bench_one(pool, segsum, use_fused, workload, split=True, budget=None,
     dt, compile_s, out = timeit(lambda *a: fwd_bwd(params, *a), scene, ray_o, ray_d)
     loss, grads = out
     msg = (f"RESULT pool={pool} segsum={segsum} fused={use_fused} budget={budget} "
-           f"planar={planar} ms={dt*1e3:.2f} rays_s={n_rays/dt:,.0f} "
+           f"planar={planar} refill={refill} ms={dt*1e3:.2f} rays_s={n_rays/dt:,.0f} "
            f"(compile {compile_s:.0f}s, loss={float(loss):.5f})")
 
     if split:
         fwd_only = jax.jit(
             lambda s, o, d: _forward_tape(s, o, d, key, depth, pool, ifn, use_fused,
-                                          budget, planar)
+                                          budget, planar, refill)
         )
         dtf, cf, res = timeit(fwd_only, scene, ray_o, ray_d)
         n_it = int(res[2])
@@ -104,16 +104,17 @@ def main():
                                  camera.max_depth, n_rays, on_tpu)
         return workloads[n_rays]
 
-    # configs: "rays:pool:segsum[:fused[:planar[:budget]]]"
+    # configs: "rays:pool:segsum[:fused[:planar[:budget[:refill]]]]"
     configs = sys.argv[1:] or ["65536:16384:matmul:fused"]
     for c in configs:
         parts = c.split(":")
         n_rays, pool, segsum = int(parts[0]), int(parts[1]), parts[2]
         fused = len(parts) > 3 and parts[3] == "fused"
         planar = len(parts) > 4 and parts[4] == "planar"
-        budget = int(parts[5]) if len(parts) > 5 else None
+        budget = int(parts[5]) if len(parts) > 5 and parts[5] else None
+        refill = int(parts[6]) if len(parts) > 6 else 1
         bench_one(pool, segsum, fused, workload(n_rays), planar=planar,
-                  budget=budget)
+                  budget=budget, refill=refill)
 
 
 if __name__ == "__main__":
