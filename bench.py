@@ -32,14 +32,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, iters=3):
+def timed(fn, *args, iters=3, reps=1):
+    """Mean of `iters` dispatches, best of `reps` such means: per-dispatch
+    tunnel overhead amortizes over iters, and the best-of guards against a
+    remote-compile-service hiccup landing inside one rep (measured 47 vs
+    40 ms run-to-run on an identical cached program)."""
     out = fn(*args)
     jax.block_until_ready(out)  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
@@ -92,19 +99,24 @@ def main():
 
     # Tight tape budget — the documented production mode (tapegrad
     # docstring): the worst case (every ray at max_depth) allocates a
-    # 1652-iteration tape of which a real render uses ~140; the smaller
-    # tape cuts the backward's cotangent-seed buffers 8x (measured
-    # 8.4 -> 2.6 ms).  Honesty is enforced below: the recording forward
-    # is run once untimed and must fit with headroom, else fall back to
-    # the worst case.
-    grad_pool = 8192
-    grad_budget = 256
+    # ~6700-row tape at pool 2048 of which a real render uses ~480; the
+    # smaller tape shrinks the backward's cotangent-seed buffers ~9x.
+    # Honesty is enforced below: the recording forward is run once untimed
+    # and must fit with headroom, else fall back to the worst case.
+    # pool/refill from the round-2 hardware sweep (scripts/bench_tapegrad.py):
+    # small pools win — per-slot overhead scales with pool x rows, and at
+    # 2048 the pool is ~fully occupied with a negligible drain tail.
+    # refill_every=2 halves the refill machinery per tape row.
+    grad_pool = 2048
+    grad_budget = 768
+    grad_refill = 2
     tracer_kw = dict(
         max_depth=depth,
         pool=grad_pool,
         intersect_fn=intersect if intersect else closest_hit,
         use_fused=on_tpu,
         segsum="matmul" if on_tpu else "scatter",
+        refill_every=grad_refill,
     )
     tracer = make_tape_tracer(
         jax.random.PRNGKey(1), budget=grad_budget, **tracer_kw
@@ -144,6 +156,7 @@ def main():
         lambda s, o, d: _forward_tape(
             s, o, d, jax.random.PRNGKey(1), depth, grad_pool,
             tracer_kw["intersect_fn"], tracer_kw["use_fused"], grad_budget,
+            False, grad_refill,
         )
     )(scene, ray_o, ray_d)
     n_it = int(n_it)
@@ -156,7 +169,8 @@ def main():
     # persistent cache, so measure fwd+bwd before anything optional and emit
     # the JSON line even if the forward-only extra doesn't fit the budget.
     params = scene.diff_params()
-    t_fb = timed(lambda *a: fwd_bwd(params, *a), scene, ray_o, ray_d)
+    t_fb = timed(lambda *a: fwd_bwd(params, *a), scene, ray_o, ray_d,
+                 iters=8, reps=3)
     fb_rps = n_rays / t_fb
     log(f"fwd+bwd (path-replay): {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
 

@@ -235,9 +235,14 @@ def _forward_tape(
                 idx, ruv, u = res.idx, res.ruv, res.u
                 fin = (res.finished == 1) & live
                 keep = live & ~fin
-                o2 = jnp.where(keep[:, None], res.new_o, o)
-                d2 = jnp.where(keep[:, None], res.new_d, d)
-                atten2 = jnp.where(keep[:, None], atten * res.atten, atten)
+                # the kernel already emits MERGED next-ray state (new_o/new_d
+                # are the original ray on non-kept lanes, bounce_kernel.py
+                # _shade's keep-wheres) and per-bounce atten exactly 1.0
+                # there — the host-side keep-wheres this replaces were
+                # redundant per-slot work (bit-identical by IEEE x*1.0 == x)
+                o2 = res.new_o
+                d2 = res.new_d
+                atten2 = atten * res.atten
                 contrib = atten * res.color
             else:
                 res = intersect_fn(o, d, scene)

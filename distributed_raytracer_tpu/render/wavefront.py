@@ -299,9 +299,12 @@ def render_wavefront_sum_fused(
                 out[c].at[slot].set(color[:, c], mode="drop", unique_indices=True)
                 for c in range(3)
             )
-        o = jnp.where(keep[:, None], res.new_o, o)
-        d = jnp.where(keep[:, None], res.new_d, d)
-        atten = jnp.where(keep[:, None], atten * res.atten, atten)
+        # the kernel's outputs are already keep-merged (new_o/new_d carry the
+        # original ray on non-kept lanes; atten is exactly 1.0 there), so no
+        # host-side keep-wheres — bit-identical, fewer per-slot VPU ops
+        o = res.new_o
+        d = res.new_d
+        atten = atten * res.atten
         live = keep & ~exhausted
         return o, d, atten, lane_ray, depth, live, emitted, out, it + 1
 

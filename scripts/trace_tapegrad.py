@@ -19,6 +19,9 @@ scene = rtiow_final_scene(seed=0, pad_to=512)
 camera = final_scene_camera(image_width=1200, spp=500)
 n_rays = int(os.environ.get("DRAY_TRACE_RAYS", "65536"))
 pool = int(os.environ.get("DRAY_TRACE_POOL", "4096"))
+budget = os.environ.get("DRAY_TRACE_BUDGET")
+budget = int(budget) if budget else None
+refill = int(os.environ.get("DRAY_TRACE_REFILL", "1"))
 w = camera.image_width
 ids = jnp.asarray(np.arange(n_rays, dtype=np.int64) * camera.num_pixels // n_rays,
                   jnp.int32)
@@ -27,7 +30,7 @@ ray_o, ray_d = jax.block_until_ready(
 )
 tracer = make_tape_tracer(jax.random.PRNGKey(1), camera.max_depth, pool=pool,
                           intersect_fn=closest_hit_pallas, use_fused=True,
-                          segsum="matmul")
+                          segsum="matmul", budget=budget, refill_every=refill)
 
 
 @jax.jit
