@@ -80,12 +80,15 @@ def main():
     spp_bench = 4
     fwd_total = camera.num_pixels * spp_bench
 
+    # pool 16384 from the round-2 hardware sweep (65536/32768/16384/8192/4096
+    # gave 13-14.5/15.1/15.3/14.7/13.2 M rays/s — smaller pools cut per-slot
+    # refill+drain overhead until per-iteration fixed costs take over)
     @jax.jit
     def fwd(scene, key):
         if on_tpu:
             # production fast path: fully fused bounce kernel + wavefront pool
             return render_wavefront_sum_fused(
-                scene, camera, key, spp_bench, pool_size=65536
+                scene, camera, key, spp_bench, pool_size=16384
             )
         return render_wavefront_sum(scene, camera, key, spp_bench, pool_size=65536)
 
@@ -183,7 +186,7 @@ def main():
     # probing the headline only.
     if not os.environ.get("DRAY_BENCH_SKIP_FWD"):
         try:
-            t_fwd = timed(fwd, scene, key)
+            t_fwd = timed(fwd, scene, key, iters=3, reps=2)
             fwd_rps = fwd_total / t_fwd
             log(f"fwd (wavefront): {t_fwd*1e3:8.2f} ms/{fwd_total} rays -> {fwd_rps:,.0f} rays/s")
             extras["fwd_rays_per_sec"] = round(fwd_rps, 1)

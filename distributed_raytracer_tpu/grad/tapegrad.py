@@ -147,6 +147,7 @@ def _forward_tape(
     budget: Optional[int] = None,
     planar: bool = False,
     refill_every: int = 1,
+    block_rays: int = 0,
 ):
     """Recording wavefront forward.
 
@@ -229,7 +230,8 @@ def _forward_tape(
             it_s = it + s
             if use_fused:
                 res = fused_bounce(
-                    o, d, live, scene, seed_base + it_s * jnp.int32(65537)
+                    o, d, live, scene, seed_base + it_s * jnp.int32(65537),
+                    **({"block_rays": block_rays} if block_rays else {}),
                 )
                 hit = res.hit & live
                 idx, ruv, u = res.idx, res.ruv, res.u
@@ -530,23 +532,25 @@ def make_tape_tracer(
     budget: Optional[int] = None,
     planar: bool = False,
     refill_every: int = 1,
+    block_rays: int = 0,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
     VJP.  The TPU production config is use_fused=True (fused bounce kernel
-    forward) + the reverse-tape backward."""
+    forward) + the reverse-tape backward.  block_rays: fused-kernel ray-block
+    width override (0 = kernel default)."""
 
     @jax.custom_vjp
     def traced_k(scene, ray_o, ray_d, k):
         color, _, _, _ = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar, refill_every,
+            budget, planar, refill_every, block_rays,
         )
         return color
 
     def traced_fwd(scene, ray_o, ray_d, k):
         color, tape, n_it, pos = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar, refill_every,
+            budget, planar, refill_every, block_rays,
         )
         return color, (scene, tape, n_it, pos)
 

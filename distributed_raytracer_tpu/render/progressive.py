@@ -182,7 +182,7 @@ def render_progressive(
     resume: bool = True,
     progress_cb: Optional[Callable[[AccumState], None]] = None,
     engine: str = "scan",
-    pool_size: int = 131072,
+    pool_size: int = 16384,
     use_pallas: bool = False,
     intersect_fn=None,
     fill: str = "row",

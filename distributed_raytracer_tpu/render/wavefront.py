@@ -47,7 +47,10 @@ from distributed_raytracer_tpu.ops.camera import Camera, generate_rays
 from distributed_raytracer_tpu.ops.intersect import closest_hit
 from distributed_raytracer_tpu.ops.trace import RayState, bounce_step
 
-DEFAULT_POOL = 131072
+# Round-2 hardware sweep at the config-4 workload (bench.py comment): pool
+# 16384 beats 131072/65536/32768/8192/4096 — per-slot refill+drain overhead
+# scales with pool x iterations while 16k stays fully occupied.
+DEFAULT_POOL = 16384
 
 
 def render_wavefront_sum(
