@@ -322,19 +322,37 @@ def _bounce_kernel(
         u_out[:] = u_choice
 
 
+class BounceRows(NamedTuple):
+    """Raw [1, RP] row outputs of the fused bounce kernel (RP = R padded to
+    the ray-block multiple).  The rows-native pipeline consumes these
+    directly — no [R,3] interleave at the kernel boundary (each stack of
+    three [1,R] rows into a [R,3] costs a lane->sublane relayout; a planar
+    loop carries rows end-to-end)."""
+    no: tuple   # (x, y, z) next origin rows
+    nd: tuple   # (x, y, z) next direction rows
+    at: tuple   # (r, g, b) per-bounce attenuation rows (1 where inactive)
+    co: tuple   # (r, g, b) terminal color rows (valid where finished)
+    fin: jnp.ndarray   # [1,RP] i32
+    idx: jnp.ndarray   # [1,RP] i32
+    t: jnp.ndarray     # [1,RP] f32 (hit ⇔ t < BIG/2)
+    ru: tuple   # (x, y, z) unit-vector draw rows
+    u: jnp.ndarray     # [1,RP] f32 uniform draw
+
+
 @functools.partial(jax.jit, static_argnames=("block_rays", "chunk"))
-def fused_bounce(
-    ray_o: jnp.ndarray,
-    ray_d: jnp.ndarray,
-    active: jnp.ndarray,
+def fused_bounce_rows(
+    ox, oy, oz, dx, dy, dz,
+    act_row: jnp.ndarray,
     scene: Scene,
     seed: jnp.ndarray,
     block_rays: int = DEFAULT_BR,
     chunk: int = LANE,
-) -> BounceOut:
-    """One fused bounce for a wavefront.  active: [R] bool.  seed: i32
-    scalar (vary per pool iteration)."""
-    r = ray_o.shape[0]
+) -> BounceRows:
+    """Rows-native fused bounce: six [1, RP] f32 ray rows + [1, RP] i32
+    active row in, raw row outputs back (RP must be a multiple of the ray
+    block).  `fused_bounce` wraps this with the [R,3] interleave for
+    callers that carry lane-major state."""
+    rp = ox.shape[1]
     n0 = scene.num_spheres
     m = -(-n0 // chunk) * chunk
     pad_s = m - n0
@@ -388,18 +406,9 @@ def fused_bounce(
         .reshape(n_chunks_s * 3 * _A_ROWS, chunk)
     )
 
-    br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
-    pad_r = (-r) % br
-    rp = r + pad_r
-
-    def row(x):
-        return jnp.pad(x, (0, pad_r)).reshape(1, rp)
-
-    rows = (
-        [row(ray_o[:, i]) for i in range(3)]
-        + [row(ray_d[:, i]) for i in range(3)]
-        + [row(active.astype(jnp.int32))]
-    )
+    br = min(block_rays, max(LANE, rp))
+    assert rp % br == 0, (rp, br)
+    rows = [ox, oy, oz, dx, dy, dz, act_row]
 
     n_chunks = m // chunk
     ray_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
@@ -434,15 +443,56 @@ def fused_bounce(
      atr, atg, atb, cor, cog, cob, finished,
      idx_row, rux, ruy, ruz, u_row) = outs
 
-    stack3 = lambda x, y, z: jnp.stack([x[0, :r], y[0, :r], z[0, :r]], axis=-1)
+    return BounceRows(
+        no=(nox, noy, noz),
+        nd=(ndx, ndy, ndz),
+        at=(atr, atg, atb),
+        co=(cor, cog, cob),
+        fin=finished,
+        idx=idx_row,
+        t=t_row,
+        ru=(rux, ruy, ruz),
+        u=u_row,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_rays", "chunk"))
+def fused_bounce(
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    active: jnp.ndarray,
+    scene: Scene,
+    seed: jnp.ndarray,
+    block_rays: int = DEFAULT_BR,
+    chunk: int = LANE,
+) -> BounceOut:
+    """One fused bounce for a wavefront.  active: [R] bool.  seed: i32
+    scalar (vary per pool iteration).  Lane-major convenience wrapper over
+    fused_bounce_rows (interleaves rows back into [R,3] arrays)."""
+    r = ray_o.shape[0]
+    br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
+    pad_r = (-r) % br
+    rp = r + pad_r
+
+    def row(x):
+        return jnp.pad(x, (0, pad_r)).reshape(1, rp)
+
+    res = fused_bounce_rows(
+        row(ray_o[:, 0]), row(ray_o[:, 1]), row(ray_o[:, 2]),
+        row(ray_d[:, 0]), row(ray_d[:, 1]), row(ray_d[:, 2]),
+        row(active.astype(jnp.int32)),
+        scene, seed, block_rays=br, chunk=chunk,
+    )
+
+    stack3 = lambda t3: jnp.stack([t3[0][0, :r], t3[1][0, :r], t3[2][0, :r]], axis=-1)
     return BounceOut(
-        new_o=stack3(nox, noy, noz),
-        new_d=stack3(ndx, ndy, ndz),
-        atten=stack3(atr, atg, atb),
-        color=stack3(cor, cog, cob),
-        finished=finished[0, :r],
-        idx=idx_row[0, :r],
-        hit=t_row[0, :r] < BIG * 0.5,
-        ruv=stack3(rux, ruy, ruz),
-        u=u_row[0, :r],
+        new_o=stack3(res.no),
+        new_d=stack3(res.nd),
+        atten=stack3(res.at),
+        color=stack3(res.co),
+        finished=res.fin[0, :r],
+        idx=res.idx[0, :r],
+        hit=res.t[0, :r] < BIG * 0.5,
+        ruv=stack3(res.ru),
+        u=res.u[0, :r],
     )
