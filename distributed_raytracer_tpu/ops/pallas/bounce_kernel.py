@@ -339,6 +339,15 @@ class BounceRows(NamedTuple):
     u: jnp.ndarray     # [1,RP] f32 uniform draw
 
 
+def _auto_chunk(n0: int) -> int:
+    """Sphere-chunk default: as large as the (lane-padded) scene up to 512.
+    Fewer grid cells per ray block amortizes the per-cell fixed work (init,
+    winner matmul issue, carry update) and grows the one-hot matmul toward
+    MXU-efficient shapes — measured +8% end-to-end at 512 spheres (chunk
+    512 vs 128: 16.95 vs 15.64 M rays/s, same padded sweep size)."""
+    return min(512, -(-n0 // LANE) * LANE)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rays", "chunk"))
 def fused_bounce_rows(
     ox, oy, oz, dx, dy, dz,
@@ -346,14 +355,15 @@ def fused_bounce_rows(
     scene: Scene,
     seed: jnp.ndarray,
     block_rays: int = DEFAULT_BR,
-    chunk: int = LANE,
+    chunk: int = 0,
 ) -> BounceRows:
     """Rows-native fused bounce: six [1, RP] f32 ray rows + [1, RP] i32
     active row in, raw row outputs back (RP must be a multiple of the ray
     block).  `fused_bounce` wraps this with the [R,3] interleave for
-    callers that carry lane-major state."""
+    callers that carry lane-major state.  chunk=0 -> _auto_chunk."""
     rp = ox.shape[1]
     n0 = scene.num_spheres
+    chunk = chunk or _auto_chunk(n0)
     m = -(-n0 // chunk) * chunk
     pad_s = m - n0
 
@@ -464,11 +474,12 @@ def fused_bounce(
     scene: Scene,
     seed: jnp.ndarray,
     block_rays: int = DEFAULT_BR,
-    chunk: int = LANE,
+    chunk: int = 0,
 ) -> BounceOut:
     """One fused bounce for a wavefront.  active: [R] bool.  seed: i32
     scalar (vary per pool iteration).  Lane-major convenience wrapper over
-    fused_bounce_rows (interleaves rows back into [R,3] arrays)."""
+    fused_bounce_rows (interleaves rows back into [R,3] arrays).
+    chunk=0 -> _auto_chunk."""
     r = ray_o.shape[0]
     br = min(block_rays, max(LANE, -(-r // LANE) * LANE))
     pad_r = (-r) % br

@@ -225,6 +225,7 @@ def render_wavefront_sum_fused(
     pool_size: int = DEFAULT_POOL,
     block_rays: int = 512,
     pos_drain: Optional[bool] = None,
+    sphere_chunk: int = 0,
 ) -> jnp.ndarray:
     """Wavefront render with the FULLY FUSED bounce kernel
     (ops/pallas/bounce_kernel.py): one pallas_call per pool iteration does
@@ -279,7 +280,7 @@ def render_wavefront_sum_fused(
         # fused bounce
         res = fused_bounce(
             o, d, live, scene, seed_base + it * jnp.int32(65537),
-            block_rays=block_rays,
+            block_rays=block_rays, chunk=sphere_chunk,
         )
         depth = depth + live.astype(jnp.int32)
         fin = (res.finished == 1) & live
