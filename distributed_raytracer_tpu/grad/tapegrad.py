@@ -422,10 +422,34 @@ def _backward_tape(
             [d_cw, d_rw[:, None], d_aw, d_fw[:, None], d_iw[:, None]], axis=-1
         )  # [B, 9]
         if segsum == "matmul":
-            oh = (seg[:, None] == jnp.arange(n + 1, dtype=jnp.int32)[None, :]).astype(
-                jnp.float32
-            )
-            g_pm = g_pm + oh.T @ d_pm
+            # one-hot built directly in [N+1, B] orientation and contracted
+            # over B — no [B, N+1] -> [N+1, B] transpose materializes
+            oh_eq = jnp.arange(n + 1, dtype=jnp.int32)[:, None] == seg[None, :]
+            dn = (((1,), (0,)), ((), ()))
+            if d_pm.dtype == jnp.float32:
+                # EXACT at DEFAULT-matmul cost, the bounce kernel's bf16x3
+                # trick: split d_pm into hi/mid/lo bf16 planes (24 mantissa
+                # bits), concat on the 9-wide axis (pads to 128 lanes either
+                # way, so 27 is free), multiply by the exactly-bf16 one-hot
+                # with f32 accumulation, recombine.  DEFAULT precision alone
+                # would truncate the cotangents to bf16.
+                hi = d_pm.astype(jnp.bfloat16)
+                r1 = d_pm - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                planes = jnp.concatenate([hi, mid, lo], axis=1)  # [B,27] bf16
+                oh_t = oh_eq.astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    oh_t, planes, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                )  # [N+1, 27] f32
+                g_pm = g_pm + part[:, 0:9] + part[:, 9:18] + part[:, 18:27]
+            else:
+                # f64 oracle path (CPU x64): plain exact contraction
+                g_pm = g_pm + jax.lax.dot_general(
+                    oh_eq.astype(d_pm.dtype), d_pm, dimension_numbers=dn,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
         else:
             g_pm = g_pm.at[seg].add(d_pm, mode="drop")
 
