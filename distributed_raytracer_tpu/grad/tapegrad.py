@@ -335,6 +335,7 @@ def _backward_tape(
     g_color: jnp.ndarray,
     segsum: str = "scatter",
     planar: bool = False,
+    unroll: int = 1,
 ):
     """Reverse replay of the iteration tape -> (d_scene, g_ray_o, g_ray_d).
 
@@ -381,7 +382,7 @@ def _backward_tape(
         axis=-1,
     )
 
-    def body(carry):
+    def one_row(carry):
         (it, cot_o, cot_d, cot_at, g_pm, g_ray_o, g_ray_d) = carry
         it = it - 1
         rec = _unpack_rec(
@@ -472,6 +473,15 @@ def _backward_tape(
         cot_d = jnp.where(tk, 0.0, d_d)
         cot_at = jnp.where(tk, 0.0, d_at)
         return (it, cot_o, cot_d, cot_at, g_pm, g_ray_o, g_ray_d)
+
+    def body(carry):
+        # UNROLL rows per while iteration: the loop's fixed overhead
+        # (carry bookkeeping, cond eval, scheduling) measured ~tens of us
+        # per iteration; n_it is a multiple of the forward's refill_every
+        # by construction, so unroll=refill_every divides it exactly.
+        for _ in range(max(1, unroll)):
+            carry = one_row(carry)
+        return carry
 
     def cond(carry):
         return carry[0] > 0
@@ -581,7 +591,8 @@ def make_tape_tracer(
     def traced_bwd(res, g_color):
         scene, tape, n_it, pos = res
         d_scene, g_o, g_d = _backward_tape(
-            scene, tape, n_it, pos, g_color, segsum, planar
+            scene, tape, n_it, pos, g_color, segsum, planar,
+            unroll=max(1, refill_every),
         )
         import numpy as _np
 
