@@ -119,3 +119,37 @@ def test_pool_sky_only_render_exact():
     assert np.all(np.isfinite(got))
     # 2 samples of sky each: sum within jitter bounds of 2*sky
     assert got[:, 2].min() > 1.2  # blue channel of 2 sky samples
+
+
+def test_auto_chunk_selection():
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import _auto_chunk
+
+    assert _auto_chunk(4) == 128      # tiny scene: one lane-padded chunk
+    assert _auto_chunk(128) == 128
+    assert _auto_chunk(480) == 512    # flagship: whole scene in one cell
+    assert _auto_chunk(512) == 512
+    assert _auto_chunk(8320) == 512   # big scenes cap at 512
+
+
+def test_chunk_sizes_agree():
+    """Winner selection is chunk-partition invariant: the first-min rule
+    gives identical (t, idx, shading) whether the sweep runs as 4x128 or
+    1x512 chunks."""
+    rng = np.random.default_rng(5)
+    sb = SceneBuilder()
+    for _ in range(200):
+        sb.add_lambertian(rng.uniform(-4, 4, 3), rng.uniform(0.1, 0.6),
+                          rng.uniform(0.1, 0.9, 3))
+    scene = sb.build()
+    n = 256
+    key = jax.random.PRNGKey(0)
+    o = jax.random.normal(key, (n, 3)) * 3.0
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    live = jnp.ones((n,), bool)
+    with pltpu.force_tpu_interpret_mode():
+        a = fused_bounce(o, d, live, scene, jnp.int32(3), chunk=128)
+        b = fused_bounce(o, d, live, scene, jnp.int32(3), chunk=512)
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.new_o), np.asarray(b.new_o))
+    np.testing.assert_array_equal(np.asarray(a.atten), np.asarray(b.atten))

@@ -92,3 +92,37 @@ def test_stall_requires_heartbeat():
 
     with pytest.raises(ValueError):
         Supervisor(["render"], stall_timeout=5.0)
+
+
+def test_startup_grace_tolerates_slow_start_then_detects_stall(tmp_path, monkeypatch):
+    """A child that takes longer than stall_timeout to produce its FIRST
+    beat (imports + jit compile) must not be killed during startup; once
+    it has beaten and then hangs, the strict stall_timeout applies."""
+    import time
+
+    from distributed_raytracer_tpu.utils.supervise import Supervisor
+
+    hb = str(tmp_path / "beat")
+    # child: silent for 1.2s (startup), beat, then hang forever
+    code = (
+        "import sys,time; time.sleep(1.2); "
+        f"open({hb!r},'w').write('x'); time.sleep(60)"
+    )
+    sup = Supervisor(
+        ["--checkpoint", "unused"],  # silences the no-checkpoint warning
+        heartbeat=hb,
+        stall_timeout=0.5,
+        startup_grace=10.0,
+        max_restarts=0,
+        poll=0.05,
+    )
+    monkeypatch.setattr(
+        Supervisor, "_spawn",
+        lambda self: subprocess.Popen([sys.executable, "-c", code]),
+    )
+    t0 = time.time()
+    res = sup.run()
+    took = time.time() - t0
+    # survived the 1.2s silent startup (grace), killed ~0.5s after the beat
+    assert res.events == ["stall"], res.events
+    assert 1.2 < took < 8.0, took
