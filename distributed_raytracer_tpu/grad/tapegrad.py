@@ -148,6 +148,7 @@ def _forward_tape(
     planar: bool = False,
     refill_every: int = 1,
     block_rays: int = 0,
+    loop_unroll: int = 1,
 ):
     """Recording wavefront forward.
 
@@ -199,7 +200,7 @@ def _forward_tape(
         idata=jnp.zeros((t_budget, b, 3), jnp.int32),
     )
 
-    def body(carry):
+    def one_block(carry):
         (o, d, atten, lane_ray, lane_depth, live, emitted, pos, tape, it) = carry
 
         # --- refill free lanes from the ray queue (rank by cumsum);
@@ -288,9 +289,24 @@ def _forward_tape(
         return (o, d, atten, lane_ray, lane_depth, live, emitted, pos,
                 tape, it + k_sub)
 
+    u_blocks = max(1, loop_unroll)
+
+    def body(carry):
+        # loop_unroll > 1 is a MEASURED NEGATIVE on v5e (36.6 ms vs 21.4 ms
+        # forward at the official config): four dynamic-update-slices into
+        # the same 100 MB tape carry per body defeat XLA's in-place while
+        # aliasing and force buffer copies.  The knob stays for re-testing
+        # on future toolchains; the backward's unroll (small carries) wins
+        # and is on by default.
+        for _ in range(u_blocks):
+            carry = one_block(carry)
+        return carry
+
     def cond(carry):
         live, emitted, it = carry[5], carry[6], carry[9]
-        return ((emitted < r) | jnp.any(live)) & (it + k_sub <= t_budget)
+        return ((emitted < r) | jnp.any(live)) & (
+            it + k_sub * u_blocks <= t_budget
+        )
 
     carry0 = (
         jnp.zeros((b, 3), ft),
@@ -567,6 +583,7 @@ def make_tape_tracer(
     planar: bool = False,
     refill_every: int = 1,
     block_rays: int = 0,
+    loop_unroll: int = 1,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
     VJP.  The TPU production config is use_fused=True (fused bounce kernel
@@ -577,14 +594,14 @@ def make_tape_tracer(
     def traced_k(scene, ray_o, ray_d, k):
         color, _, _, _ = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar, refill_every, block_rays,
+            budget, planar, refill_every, block_rays, loop_unroll,
         )
         return color
 
     def traced_fwd(scene, ray_o, ray_d, k):
         color, tape, n_it, pos = _forward_tape(
             scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar, refill_every, block_rays,
+            budget, planar, refill_every, block_rays, loop_unroll,
         )
         return color, (scene, tape, n_it, pos)
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 
 def bench_one(pool, segsum, use_fused, workload, split=True, budget=None,
-              planar=False, refill=1, br=0):
+              planar=False, refill=1, br=0, unroll=1):
     from distributed_raytracer_tpu.grad.diff_render import image_loss
     from distributed_raytracer_tpu.grad.tapegrad import _forward_tape, make_tape_tracer
     from distributed_raytracer_tpu.ops.intersect import closest_hit
@@ -33,7 +33,7 @@ def bench_one(pool, segsum, use_fused, workload, split=True, budget=None,
     tracer = make_tape_tracer(
         key, depth, pool=pool, intersect_fn=ifn, use_fused=use_fused,
         segsum=segsum, budget=budget, planar=planar, refill_every=refill,
-        block_rays=br,
+        block_rays=br, loop_unroll=unroll,
     )
 
     @jax.jit
@@ -58,14 +58,14 @@ def bench_one(pool, segsum, use_fused, workload, split=True, budget=None,
     dt, compile_s, out = timeit(lambda *a: fwd_bwd(params, *a), scene, ray_o, ray_d)
     loss, grads = out
     msg = (f"RESULT pool={pool} segsum={segsum} fused={use_fused} budget={budget} "
-           f"planar={planar} refill={refill} br={br} ms={dt*1e3:.2f} "
+           f"planar={planar} refill={refill} br={br} unroll={unroll} ms={dt*1e3:.2f} "
            f"rays_s={n_rays/dt:,.0f} "
            f"(compile {compile_s:.0f}s, loss={float(loss):.5f})")
 
     if split:
         fwd_only = jax.jit(
             lambda s, o, d: _forward_tape(s, o, d, key, depth, pool, ifn, use_fused,
-                                          budget, planar, refill, br)
+                                          budget, planar, refill, br, unroll)
         )
         dtf, cf, res = timeit(fwd_only, scene, ray_o, ray_d)
         n_it = int(res[2])
@@ -106,7 +106,7 @@ def main():
                                  camera.max_depth, n_rays, on_tpu)
         return workloads[n_rays]
 
-    # configs: "rays:pool:segsum[:fused[:planar[:budget[:refill[:br]]]]]"
+    # configs: "rays:pool:segsum[:fused[:planar[:budget[:refill[:br[:unroll]]]]]]"
     configs = sys.argv[1:] or ["65536:16384:matmul:fused"]
     for c in configs:
         parts = c.split(":")
@@ -116,8 +116,9 @@ def main():
         budget = int(parts[5]) if len(parts) > 5 and parts[5] else None
         refill = int(parts[6]) if len(parts) > 6 else 1
         br = int(parts[7]) if len(parts) > 7 else 0
+        unroll = int(parts[8]) if len(parts) > 8 else 1
         bench_one(pool, segsum, fused, workload(n_rays), planar=planar,
-                  budget=budget, refill=refill, br=br)
+                  budget=budget, refill=refill, br=br, unroll=unroll)
 
 
 if __name__ == "__main__":
