@@ -226,11 +226,19 @@ def render_wavefront_sum_fused(
     block_rays: int = 512,
     pos_drain: Optional[bool] = None,
     sphere_chunk: int = 0,
+    refill_every: int = 2,
 ) -> jnp.ndarray:
     """Wavefront render with the FULLY FUSED bounce kernel
     (ops/pallas/bounce_kernel.py): one pallas_call per pool iteration does
     intersect + winner-attribute selection + shading + RNG on-core.  The
     host-side loop only handles refill/drain bookkeeping.
+
+    refill_every: bounces per refill block (the tape forward's design,
+    grad/tapegrad.py) — the refill machinery (cumsum rank + camera ray
+    generation + merges) is paid once per k bounces; a lane that finishes
+    mid-block idles until the block ends (~+9% idle bounce slots at k=2 on
+    the RTiOW workload, a measured net win on the tape path).  The noise
+    stream shifts with k (same estimator class as changing pool size).
 
     Noise comes from the kernel's on-core PRNG (not threefry), so images
     differ from render_wavefront_sum at the noise level while estimating
@@ -252,7 +260,8 @@ def render_wavefront_sum_fused(
     # a 1-D int32 position is scattered; per-ray colors are one gather at
     # the end.  Worst-case iterations = every ray at max depth; only
     # enabled when that buffer fits comfortably in HBM.
-    t_worst = -(-total * max_depth // b) + max_depth + 2
+    k_sub = max(1, refill_every)
+    t_worst = -(-total * (max_depth + k_sub - 1) // b) + max_depth + k_sub + 2
     if pos_drain is None:
         pos_drain = t_worst * b * 12 <= 2_500_000_000
 
@@ -260,7 +269,7 @@ def render_wavefront_sum_fused(
         o, d, atten, lane_ray, depth, live, emitted, out, it = carry
         k = jax.random.fold_in(key, it)
 
-        # refill
+        # refill — paid ONCE per k_sub bounces (tape-forward design)
         free = ~live
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1
         remaining = total - emitted
@@ -277,40 +286,55 @@ def render_wavefront_sum_fused(
         live = live | take
         emitted = emitted + jnp.sum(take.astype(jnp.int32))
 
-        # fused bounce
-        res = fused_bounce(
-            o, d, live, scene, seed_base + it * jnp.int32(65537),
-            block_rays=block_rays, chunk=sphere_chunk,
-        )
-        depth = depth + live.astype(jnp.int32)
-        fin = (res.finished == 1) & live
-        keep = live & ~fin
-        exhausted = keep & (depth >= max_depth)
+        # k_sub fused bounces; a lane that finishes mid-block idles and a
+        # single 1-D position scatter drains the whole block
+        lane_iota = jnp.arange(b, dtype=jnp.int32)
+        fin_flat = jnp.full((b,), -1, jnp.int32)
+        fin_color = jnp.zeros((b, 3), jnp.float32)
+        for s in range(k_sub):
+            it_s = it + s
+            res = fused_bounce(
+                o, d, live, scene, seed_base + it_s * jnp.int32(65537),
+                block_rays=block_rays, chunk=sphere_chunk,
+            )
+            depth = depth + live.astype(jnp.int32)
+            fin = (res.finished == 1) & live
+            keep = live & ~fin
+            exhausted = keep & (depth >= max_depth)
 
-        # drain: final color = carried attenuation * bounce terminal color
-        slot = jnp.where(fin, lane_ray, total)
-        color = atten * res.color
+            color = atten * res.color
+            if pos_drain:
+                # record WHERE (flat block position) and WHAT each lane
+                # finished; one scatter + one dense row write per bounce
+                fin_flat = jnp.where(fin, it_s * b + lane_iota, fin_flat)
+                pos, contrib = out
+                contrib = jax.lax.dynamic_update_index_in_dim(
+                    contrib, color, it_s, 0
+                )
+                out = (pos, contrib)
+            else:
+                fin_color = jnp.where(fin[:, None], color, fin_color)
+                fin_flat = jnp.where(fin, jnp.int32(0), fin_flat)
+            # kernel outputs are already keep-merged; atten exactly 1.0 on
+            # non-kept lanes (bit-identical to explicit keep-wheres)
+            o = res.new_o
+            d = res.new_d
+            atten = atten * res.atten
+            live = keep & ~exhausted
+
+        # a lane finishes at most one ray per block (no refill mid-block)
+        slot = jnp.where(fin_flat >= 0, lane_ray, total)
         if pos_drain:
             pos, contrib = out
-            flat = it * b + jnp.arange(b, dtype=jnp.int32)
-            pos = pos.at[slot].set(flat, mode="drop", unique_indices=True)
-            contrib = jax.lax.dynamic_update_index_in_dim(contrib, color, it, 0)
+            pos = pos.at[slot].set(fin_flat, mode="drop", unique_indices=True)
             out = (pos, contrib)
         else:
-            # component-planar fallback (still far better than a [total,3]
-            # row scatter, which costs 4x the bounce kernel)
             out = tuple(
-                out[c].at[slot].set(color[:, c], mode="drop", unique_indices=True)
+                out[c].at[slot].set(fin_color[:, c], mode="drop",
+                                    unique_indices=True)
                 for c in range(3)
             )
-        # the kernel's outputs are already keep-merged (new_o/new_d carry the
-        # original ray on non-kept lanes; atten is exactly 1.0 there), so no
-        # host-side keep-wheres — bit-identical, fewer per-slot VPU ops
-        o = res.new_o
-        d = res.new_d
-        atten = atten * res.atten
-        live = keep & ~exhausted
-        return o, d, atten, lane_ray, depth, live, emitted, out, it + 1
+        return o, d, atten, lane_ray, depth, live, emitted, out, it + k_sub
 
     def cond(carry):
         live, emitted = carry[5], carry[6]
