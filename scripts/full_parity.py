@@ -97,8 +97,20 @@ def ref_phase():
     nps = NPScene.from_scene(scene)
     rng = np.random.default_rng(1234)
     acc = np.zeros((SUBSET, 3))
+    # RESUMABLE: the full f64 subset at 500 spp needs ~12 min on this host
+    # and runs are capped at ~10; checkpoint (acc, next sample, rng state)
+    # every 50 spp so consecutive invocations finish the job.  The rng
+    # state rides the checkpoint, so the accumulated estimate is identical
+    # to an uninterrupted run.
+    ref_ck = os.path.join(ART, f"config4_{SPP}spp_ref{SUBSET}.npz")
+    s0 = 0
+    if os.path.exists(ref_ck):
+        st = np.load(ref_ck, allow_pickle=True)
+        acc, s0 = st["acc"], int(st["s"])
+        rng.bit_generator.state = st["rng"].item()
+        print(f"  ref resume at {s0}/{SPP}", flush=True)
     t0 = time.time()
-    for s in range(SPP):
+    for s in range(s0, SPP):
         off = rng.random((SUBSET, 2)) - 0.5
         p = (
             cnp["pixel00_loc"][None, :]
@@ -118,6 +130,8 @@ def ref_phase():
         acc += trace(nps, origin, p - origin, rng, cam.max_depth)
         if s % 50 == 49:
             print(f"  ref {s+1}/{SPP} ({time.time()-t0:.0f}s)", flush=True)
+            np.savez(ref_ck, acc=acc, s=s + 1,
+                     rng=np.array(rng.bit_generator.state, dtype=object))
     ref = acc / SPP
 
     got = img.reshape(-1, 3)[pix]
