@@ -42,7 +42,7 @@ def tpu_phase():
     t0 = time.time()
     state = render_progressive(
         scene, cam, seed=0, spp=SPP, batch=50, engine="fused",
-        pool_size=131072, checkpoint_path=ck,
+        pool_size=16384, checkpoint_path=ck,  # tuned pool (DESIGN §2)
         progress_cb=lambda st: print(
             f"  {st.samples_done}/{SPP} samples, {time.time()-t0:.0f}s", flush=True
         ),
@@ -60,7 +60,7 @@ def tpu_phase():
 
         from distributed_raytracer_tpu.render.wavefront import render_wavefront_sum_fused
 
-        f = jax.jit(lambda s, k: render_wavefront_sum_fused(s, cam, k, 4, 131072))
+        f = jax.jit(lambda s, k: render_wavefront_sum_fused(s, cam, k, 4, 16384))
         jax.block_until_ready(f(scene, jax.random.PRNGKey(0)))  # warm
         trace_dir = os.path.join(ART, "trace")
         with jax.profiler.trace(trace_dir):

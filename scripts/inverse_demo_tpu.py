@@ -30,7 +30,7 @@ print(f"scene {scene.num_spheres} spheres, {camera.image_width}x{camera.image_he
       flush=True)
 
 # ground-truth target image (fused production renderer)
-target = render_image_wavefront(scene, camera, seed=9, spp=64, pool_size=131072,
+target = render_image_wavefront(scene, camera, seed=9, spp=64, pool_size=16384,
                                 use_pallas=True)
 write_ppm(os.path.join(ART, "inverse_tpu_target.ppm"), target)
 
@@ -44,7 +44,7 @@ start = scene.replace(
         0.02, 0.98,
     )
 )
-img0 = render_image_wavefront(start, camera, seed=9, spp=16, pool_size=131072,
+img0 = render_image_wavefront(start, camera, seed=9, spp=16, pool_size=16384,
                               use_pallas=True)
 write_ppm(os.path.join(ART, "inverse_tpu_start.ppm"), img0)
 err0 = float(jnp.abs(start.albedo - scene.albedo).mean())
@@ -67,7 +67,7 @@ el = time.time() - t0
 print(f"albedo MAE {err0:.4f} -> {err1:.4f} in {STEPS} steps, "
       f"{el:.0f}s ({STEPS * rays_per_step / el:,.0f} fwd+bwd rays/s sustained)",
       flush=True)
-img1 = render_image_wavefront(inv.scene, camera, seed=9, spp=16, pool_size=131072,
+img1 = render_image_wavefront(inv.scene, camera, seed=9, spp=16, pool_size=16384,
                               use_pallas=True)
 write_ppm(os.path.join(ART, "inverse_tpu_recovered.ppm"), img1)
 rmse = float(np.sqrt(np.mean((img1 - target) ** 2)))
