@@ -62,6 +62,7 @@ def render_wavefront_sum(
     intersect_fn=closest_hit,
     pixel_perm=None,
     resort_every: int = 0,
+    refill_every: int = 1,
 ) -> jnp.ndarray:
     """Color SUM image [num_pixels, 3] for spp samples per pixel.
 
@@ -70,6 +71,12 @@ def render_wavefront_sum(
     permutations (render/order.py) make in-flight ray blocks frustum-
     coherent, which the block-culled intersect kernels need to skip work.
     The returned sums are in PIXEL order either way.
+
+    refill_every: bounces per refill block (see render_wavefront_sum_fused;
+    measured a net win at k=2 on the fused path).  Default 1 here — culled
+    workloads prefer per-bounce refill so fresh coherent stream rays enter
+    as soon as lanes free up.  resort_every fires once per block whose
+    window crosses a multiple.
 
     resort_every: if > 0, every K-th pool iteration re-sorts the lanes by a
     (origin Morton cell, direction octant) key — the TPU-native analogue of
@@ -118,6 +125,8 @@ def render_wavefront_sum(
             k = (morton << 3) | octant
             return jnp.where(st.active, k, jnp.int32(1 << 30))
 
+    k_sub = max(1, refill_every)
+
     def body(carry):
         st, lane_ray, depth, emitted, out, it = carry
         k = jax.random.fold_in(key, it)
@@ -141,7 +150,7 @@ def render_wavefront_sum(
                 )
 
             st, lane_ray, depth = jax.lax.cond(
-                (it > 0) & (it % resort_every == 0),
+                (it > 0) & (it % resort_every < k_sub),
                 do_resort,
                 lambda a: a,
                 (st, lane_ray, depth),
@@ -169,25 +178,35 @@ def render_wavefront_sum(
         depth = jnp.where(take, 0, depth)
         emitted = emitted + jnp.sum(take.astype(jnp.int32))
 
-        # --- one masked bounce for the whole pool ---
-        was_active = st.active
-        st2 = bounce_step(st, k_bounce, scene, intersect_fn)
-        depth = depth + was_active.astype(jnp.int32)
+        # --- k_sub masked bounces for the whole pool; a lane finishing
+        # mid-block idles until the block ends (finishes at most one ray
+        # per block: no refill mid-block) ---
+        fin_any = jnp.zeros((b,), bool)
+        fin_color = jnp.zeros((b, 3), jnp.float32)
+        for s in range(k_sub):
+            was_active = st.active
+            st2 = bounce_step(
+                st, jax.random.fold_in(k_bounce, s), scene, intersect_fn
+            )
+            depth = depth + was_active.astype(jnp.int32)
+            finished = was_active & ~st2.active    # wrote a color this bounce
+            exhausted = st2.active & (depth >= max_depth)  # depth out -> black
+            fin_color = jnp.where(finished[:, None], st2.color, fin_color)
+            fin_any = fin_any | finished
+            st = st2._replace(active=st2.active & ~exhausted)
 
-        # --- drain finished lanes: store by GLOBAL RAY INDEX.  Ray indices
-        # are unique across the whole pass, so this is a cheap unique-index
-        # scatter-set into the per-ray buffer (summed per pixel at the end),
-        # not a slow duplicate-index scatter-add into the image. ---
-        finished = was_active & ~st2.active        # wrote a color this bounce
-        exhausted = st2.active & (depth >= max_depth)  # depth out -> black
-        slot = jnp.where(finished, lane_ray, total)    # non-finished: dropped
+        # --- drain finished lanes ONCE per block, by GLOBAL RAY INDEX.
+        # Ray indices are unique across the whole pass, so this is a cheap
+        # unique-index scatter-set into the per-ray buffer (summed per
+        # pixel at the end), not a slow duplicate-index scatter-add into
+        # the image. ---
+        slot = jnp.where(fin_any, lane_ray, total)     # non-finished: dropped
         # component-planar drain (see render_wavefront_sum_fused)
         out = tuple(
-            out[c].at[slot].set(st2.color[:, c], mode="drop", unique_indices=True)
+            out[c].at[slot].set(fin_color[:, c], mode="drop", unique_indices=True)
             for c in range(3)
         )
-        st3 = st2._replace(active=st2.active & ~exhausted)
-        return st3, lane_ray, depth, emitted, out, it + 1
+        return st, lane_ray, depth, emitted, out, it + k_sub
 
     def cond(carry):
         st, _, _, emitted, _, _ = carry
