@@ -33,20 +33,9 @@ def log(*a):
 
 
 def timed(fn, *args, iters=3, reps=1):
-    """Mean of `iters` dispatches, best of `reps` such means: per-dispatch
-    tunnel overhead amortizes over iters, and the best-of guards against a
-    remote-compile-service hiccup landing inside one rep (measured 47 vs
-    40 ms run-to-run on an identical cached program)."""
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warmup
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    from distributed_raytracer_tpu.utils.metrics import timed_best
+
+    return timed_best(fn, *args, iters=iters, reps=reps)
 
 
 def main():

@@ -131,7 +131,8 @@ def tape_budget(
     whole allocation."""
     k = refill_every
     base = -(-n_rays * (max_depth + k - 1) // pool)
-    raw = base + max_depth + k + 2
+    raw = base + max_depth + 2 * k + 2  # 2k slack: packed boundary block +
+    # drain tail can need base + max_depth + 2k - 1 rows (k+2 safe only k<=3)
     return -(-raw // k) * k
 
 

@@ -420,7 +420,7 @@ def fused_bounce_rows(
     assert rp % br == 0, (rp, br)
     rows = [ox, oy, oz, dx, dy, dz, act_row]
 
-    n_chunks = m // chunk
+    n_chunks = n_chunks_s  # one derived value; attr blocking must agree
     ray_spec = pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     scene_spec = pl.BlockSpec((chunk, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
     attr_spec = pl.BlockSpec(

@@ -280,7 +280,10 @@ def render_wavefront_sum_fused(
     # the end.  Worst-case iterations = every ray at max depth; only
     # enabled when that buffer fits comfortably in HBM.
     k_sub = max(1, refill_every)
-    t_worst = -(-total * (max_depth + k_sub - 1) // b) + max_depth + k_sub + 2
+    # slack 2k: a packed boundary block + a ceil(max_depth/k)-block drain
+    # tail can need up to base + max_depth + 2k - 1 rows (k+2 was only
+    # safe for k <= 3 — review finding)
+    t_worst = -(-total * (max_depth + k_sub - 1) // b) + max_depth + 2 * k_sub + 2
     if pos_drain is None:
         pos_drain = t_worst * b * 12 <= 2_500_000_000
 

@@ -71,3 +71,26 @@ def profiler_trace(logdir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def timed_best(fn, *args, iters=3, reps=1, block_until_ready=None):
+    """Mean of `iters` dispatches, best of `reps` such means, after a
+    warmup call: per-dispatch tunnel overhead amortizes over iters, and
+    the best-of guards against a remote-compile-service hiccup landing
+    inside one rep (measured 47 vs 40 ms run-to-run on an identical cached
+    program).  Shared by bench.py and scripts/vpu_roofline.py."""
+    import time as _time
+
+    import jax as _jax
+
+    block = block_until_ready or _jax.block_until_ready
+    out = fn(*args)
+    block(out)  # compile + warmup
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        block(out)
+        best = min(best, (_time.perf_counter() - t0) / iters)
+    return best

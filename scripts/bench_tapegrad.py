@@ -113,10 +113,13 @@ def main():
         n_rays, pool, segsum = int(parts[0]), int(parts[1]), parts[2]
         fused = len(parts) > 3 and parts[3] == "fused"
         planar = len(parts) > 4 and parts[4] == "planar"
-        budget = int(parts[5]) if len(parts) > 5 and parts[5] else None
-        refill = int(parts[6]) if len(parts) > 6 else 1
-        br = int(parts[7]) if len(parts) > 7 else 0
-        unroll = int(parts[8]) if len(parts) > 8 else 1
+        def fld(i, default):
+            return int(parts[i]) if len(parts) > i and parts[i] else default
+
+        budget = fld(5, None)
+        refill = fld(6, 1)
+        br = fld(7, 0)
+        unroll = fld(8, 1)
         bench_one(pool, segsum, fused, workload(n_rays), planar=planar,
                   budget=budget, refill=refill, br=br, unroll=unroll)
 

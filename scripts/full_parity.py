@@ -130,8 +130,11 @@ def ref_phase():
         acc += trace(nps, origin, p - origin, rng, cam.max_depth)
         if s % 50 == 49:
             print(f"  ref {s+1}/{SPP} ({time.time()-t0:.0f}s)", flush=True)
-            np.savez(ref_ck, acc=acc, s=s + 1,
+            # atomic: runs get killed at ~10 min, a torn npz would crash
+            # the next resume
+            np.savez(ref_ck + ".tmp.npz", acc=acc, s=s + 1,
                      rng=np.array(rng.bit_generator.state, dtype=object))
+            os.replace(ref_ck + ".tmp.npz", ref_ck)
     ref = acc / SPP
 
     got = img.reshape(-1, 3)[pix]
@@ -142,6 +145,11 @@ def ref_phase():
     # two independent estimators differ by ~sqrt(2)*sem
     assert diff.mean() < 0.02, "parity failure beyond MC noise"
     print("PARITY OK (within Monte-Carlo noise at matching spp)")
+    # the resume checkpoint keys only on existence — a finished one left
+    # behind would silently freeze the reference across future scene/code
+    # changes (review finding); it is cheap to recompute, so drop it
+    if os.path.exists(ref_ck):
+        os.remove(ref_ck)
 
 
 if __name__ == "__main__":

@@ -39,16 +39,9 @@ OPS_PER_TEST = 21
 
 
 def _timed(fn, *args, iters=10, reps=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    from distributed_raytracer_tpu.utils.metrics import timed_best
+
+    return timed_best(fn, *args, iters=iters, reps=reps)
 
 
 def main():

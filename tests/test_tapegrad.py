@@ -80,8 +80,11 @@ def test_backward_matches_replay_autodiff(pool, segsum, planar, refill_every):
         oracle_loss, argnums=(0, 1, 2), allow_int=True
     )(scene, o, d)
 
+    # unroll=refill_every mirrors the production wiring (traced_bwd) so the
+    # unrolled backward path is oracle-tested at k=2 and k=4
     d_scene, g_o, g_d = jax.jit(
-        lambda s, g: _backward_tape(s, tape, n_it, pos, g, segsum, planar)
+        lambda s, g: _backward_tape(s, tape, n_it, pos, g, segsum, planar,
+                                    unroll=refill_every)
     )(scene, g_color)
 
     # semantically exact: the same comparison under jax_enable_x64 agrees to
