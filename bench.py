@@ -70,8 +70,10 @@ def main():
     fwd_total = camera.num_pixels * spp_bench
 
     # pool 16384 from the round-2 hardware sweep (65536/32768/16384/8192/4096
-    # gave 13-14.5/15.1/15.3/14.7/13.2 M rays/s — smaller pools cut per-slot
-    # refill+drain overhead until per-iteration fixed costs take over)
+    # gave 13-14.5/15.1/15.3/14.7/13.2 M rays/s pre-block-refill — smaller
+    # pools cut per-slot refill+drain overhead until per-iteration fixed
+    # costs take over); with refill_every=2 (renderer default) and the
+    # chunk-512 kernel the official measured 19.8 M rays/s
     @jax.jit
     def fwd(scene, key):
         if on_tpu:

@@ -451,11 +451,18 @@ def _backward_tape(
                 # way, so 27 is free), multiply by the exactly-bf16 one-hot
                 # with f32 accumulation, recombine.  DEFAULT precision alone
                 # would truncate the cotangents to bf16.
-                hi = d_pm.astype(jnp.bfloat16)
-                r1 = d_pm - hi.astype(jnp.float32)
-                mid = r1.astype(jnp.bfloat16)
-                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                planes = jnp.concatenate([hi, mid, lo], axis=1)  # [B,27] bf16
+                # reduce_precision, NOT astype round-trips: under
+                # --xla_allow_excess_precision=true XLA elides
+                # f32->bf16->f32 casts, zeroing mid/lo (the same silent
+                # truncation bug found in the bounce kernel's attr planes)
+                hi_f = jax.lax.reduce_precision(d_pm, 8, 7)
+                r1 = d_pm - hi_f
+                mid_f = jax.lax.reduce_precision(r1, 8, 7)
+                lo_f = r1 - mid_f
+                planes = jnp.concatenate(
+                    [hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+                     lo_f.astype(jnp.bfloat16)], axis=1
+                )  # [B,27] bf16
                 oh_t = oh_eq.astype(jnp.bfloat16)
                 part = jax.lax.dot_general(
                     oh_t, planes, dimension_numbers=dn,

@@ -344,7 +344,13 @@ def _auto_chunk(n0: int) -> int:
     Fewer grid cells per ray block amortizes the per-cell fixed work (init,
     winner matmul issue, carry update) and grows the one-hot matmul toward
     MXU-efficient shapes — measured +8% end-to-end at 512 spheres (chunk
-    512 vs 128: 16.95 vs 15.64 M rays/s, same padded sweep size)."""
+    512 vs 128: 16.95 vs 15.64 M rays/s, same padded sweep size).
+    DRAY_FORCE_CHUNK overrides for hardware A/B debugging."""
+    import os
+
+    forced = int(os.environ.get("DRAY_FORCE_CHUNK", "0"))
+    if forced:
+        return forced
     return min(512, -(-n0 // LANE) * LANE)
 
 
@@ -404,11 +410,22 @@ def fused_bounce_rows(
         + [zero_m] * (_A_ROWS - 11),
         axis=0,
     )  # [16, m]
-    hi = attr_rows.astype(jnp.bfloat16)
-    r1 = attr_rows - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    planes = jnp.concatenate([hi, mid, lo], axis=0)  # [48, m] bf16
+    # Split via lax.reduce_precision, NOT astype(bf16).astype(f32): under
+    # --xla_allow_excess_precision=true (set by this TPU toolchain) XLA may
+    # elide the f32->bf16->f32 round-trip, which makes hi == attr exactly
+    # and ZEROES the mid/lo planes — on hardware that silently truncated
+    # every selected attribute to bf16 and rounded odd sphere indices
+    # >= 257 to even (found as an inverse-rendering regression; pinned by
+    # tests/test_tpu_hw.py::test_winner_idx_exact_512_spheres).
+    # reduce_precision is semantic rounding the compiler must honor.
+    hi_f = jax.lax.reduce_precision(attr_rows, 8, 7)
+    r1 = attr_rows - hi_f
+    mid_f = jax.lax.reduce_precision(r1, 8, 7)
+    lo_f = r1 - mid_f
+    planes = jnp.concatenate(
+        [hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+         lo_f.astype(jnp.bfloat16)], axis=0
+    )  # [48, m] bf16, hi+mid+lo == attr exactly (24 mantissa bits)
     n_chunks_s = m // chunk
     attrs = (
         planes.reshape(3 * _A_ROWS, n_chunks_s, chunk)

@@ -127,3 +127,34 @@ def test_culled_matches_dense_on_hardware():
     h = np.asarray(ref.hit)
     np.testing.assert_array_equal(np.asarray(got.hit), h)
     np.testing.assert_array_equal(np.asarray(got.idx)[h], np.asarray(ref.idx)[h])
+
+
+@pytest.mark.tpu
+def test_winner_idx_exact_512_spheres():
+    """Pins the excess-precision plane-split bug: with 512 spheres on a
+    line and ray i aimed at sphere i, the fused kernel must return idx == i
+    for ALL i — the broken split (astype round-trips elided under
+    --xla_allow_excess_precision=true) zeroed the mid/lo bf16 planes and
+    rounded every odd index >= 257 to even."""
+    import numpy as np
+
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
+
+    sb = SceneBuilder()
+    for i in range(512):
+        sb.add_lambertian((3.0 * i, 0.0, -5.0), 0.5, (0.5, 0.5, 0.5))
+    scene = sb.build()
+    n = 512
+    o = jnp.stack([jnp.arange(n, dtype=jnp.float32) * 3.0,
+                   jnp.zeros(n), jnp.full((n,), 5.0)], axis=-1)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    for chunk in (128, 512):
+        out = fused_bounce(o, d, jnp.ones((n,), bool), scene, jnp.int32(7),
+                           chunk=chunk)
+        idx = np.asarray(out.idx)
+        assert np.asarray(out.hit).all(), f"chunk={chunk}: missing hits"
+        bad = np.where(idx != np.arange(n))[0]
+        assert len(bad) == 0, (
+            f"chunk={chunk}: {len(bad)} wrong winner indices, "
+            f"first: {[(int(b), int(idx[b])) for b in bad[:8]]}"
+        )
