@@ -116,7 +116,43 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         render = jax.jit(
             wf.render_wavefront_sum_fused, static_argnames=("spp", "pool_size")
         )
-        return lambda k, n: render(scene, camera, k, spp=n, pool_size=pool_size)
+
+        # Keep the pos-gather drain ON: its contrib buffer scales with the
+        # spp passed per call, and a large sample batch (e.g. --batch 50 at
+        # config 4) silently tripped the HBM cap into the 3x-slower planar-
+        # scatter fallback (measured 6.2 vs ~20 M rays/s).  Render in
+        # sub-chunks that fit and sum — the accumulation is order-
+        # independent, so results only differ at the noise level (each
+        # chunk folds its own key).
+        depth = camera.max_depth
+
+        def max_posdrain_spp():
+            for n in range(64, 0, -1):
+                total = camera.num_pixels * n
+                b = min(pool_size, total)
+                rows = wf.fused_drain_rows(total, depth, b)
+                if rows * b * 12 <= wf.POSDRAIN_HBM_CAP:
+                    return n
+            return 1
+
+        cap = max_posdrain_spp()
+
+        def fused_delta(k, n):
+            if n <= cap:
+                return render(scene, camera, k, spp=n, pool_size=pool_size)
+            acc = None
+            done = 0
+            i = 0
+            while done < n:
+                c = min(cap, n - done)
+                part = render(scene, camera, jax.random.fold_in(k, i),
+                              spp=c, pool_size=pool_size)
+                acc = part if acc is None else acc + part
+                done += c
+                i += 1
+            return acc
+
+        return fused_delta
     if intersect_fn is not None:
         render = jax.jit(
             functools.partial(wf.render_wavefront_sum, intersect_fn=intersect_fn,

@@ -52,6 +52,18 @@ from distributed_raytracer_tpu.ops.trace import RayState, bounce_step
 # scales with pool x iterations while 16k stays fully occupied.
 DEFAULT_POOL = 16384
 
+# pos-gather drain contrib-buffer budget (bytes); beyond it the fused
+# renderer falls back to planar scatters (~3x slower at scale)
+POSDRAIN_HBM_CAP = 2_500_000_000
+
+
+def fused_drain_rows(total: int, max_depth: int, b: int, k_sub: int = 2) -> int:
+    """Worst-case pool-iteration rows for the fused renderer's pos-drain
+    buffer.  Slack 2k: a packed boundary block + a ceil(max_depth/k)-block
+    drain tail can need up to base + max_depth + 2k - 1 rows (k+2 was only
+    safe for k <= 3 — review finding)."""
+    return -(-total * (max_depth + k_sub - 1) // b) + max_depth + 2 * k_sub + 2
+
 
 def render_wavefront_sum(
     scene: Scene,
@@ -280,12 +292,9 @@ def render_wavefront_sum_fused(
     # the end.  Worst-case iterations = every ray at max depth; only
     # enabled when that buffer fits comfortably in HBM.
     k_sub = max(1, refill_every)
-    # slack 2k: a packed boundary block + a ceil(max_depth/k)-block drain
-    # tail can need up to base + max_depth + 2k - 1 rows (k+2 was only
-    # safe for k <= 3 — review finding)
-    t_worst = -(-total * (max_depth + k_sub - 1) // b) + max_depth + 2 * k_sub + 2
+    t_worst = fused_drain_rows(total, max_depth, b, k_sub)
     if pos_drain is None:
-        pos_drain = t_worst * b * 12 <= 2_500_000_000
+        pos_drain = t_worst * b * 12 <= POSDRAIN_HBM_CAP
 
     def body(carry):
         o, d, atten, lane_ray, depth, live, emitted, out, it = carry
