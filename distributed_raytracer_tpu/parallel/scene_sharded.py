@@ -42,15 +42,26 @@ def closest_hit_sharded(
     ray_d: jnp.ndarray,
     scene_shard: Scene,
     axis_name: str = SCENE_AXIS,
+    local_intersect=None,
 ) -> HitResult:
     """Global closest hit from per-shard local intersections.
 
     Call inside shard_map with scene_shard = this device's sphere shard.
     Returns GLOBAL sphere indices (shard_id * shard_size + local idx).
+
+    local_intersect: optional per-shard closest-hit fn (o, d, scene) ->
+    HitResult — pass ops.pallas.intersect_kernel.closest_hit_pallas on TPU
+    so each shard's sweep runs the VMEM kernel instead of the pure-JAX
+    [R, N_local] expansion (the object-server CheckHit compute, at
+    production kernel speed).
     """
-    t_all = candidate_ts(ray_o, ray_d, scene_shard)      # [R, N_local]
-    t_loc = jnp.min(t_all, axis=-1)                      # [R]
-    i_loc = jnp.argmin(t_all, axis=-1).astype(jnp.int32)  # [R]
+    if local_intersect is not None:
+        loc = local_intersect(ray_o, ray_d, scene_shard)
+        t_loc, i_loc = loc.t, loc.idx
+    else:
+        t_all = candidate_ts(ray_o, ray_d, scene_shard)      # [R, N_local]
+        t_loc = jnp.min(t_all, axis=-1)                      # [R]
+        i_loc = jnp.argmin(t_all, axis=-1).astype(jnp.int32)  # [R]
 
     # one collective replaces the per-shard CheckHit round-trips
     t_gall = jax.lax.all_gather(t_loc, axis_name)        # [S, R]
@@ -103,11 +114,13 @@ def gather_params_sharded(
 
 
 def bounce_step_sharded(
-    state: RayState, key: jax.Array, scene_shard: Scene, axis_name: str = SCENE_AXIS
+    state: RayState, key: jax.Array, scene_shard: Scene, axis_name: str = SCENE_AXIS,
+    local_intersect=None,
 ) -> RayState:
     """One masked bounce with the scene sharded — the collective form of
     ops/trace.bounce_step (one ray_color_iteration, camera.rs:118-144)."""
-    hit_res = closest_hit_sharded(state.origin, state.direction, scene_shard, axis_name)
+    hit_res = closest_hit_sharded(state.origin, state.direction, scene_shard,
+                                  axis_name, local_intersect)
     params = gather_params_sharded(scene_shard, hit_res.idx, axis_name)
     t_safe = jnp.where(hit_res.hit, hit_res.t, 1.0)
     # ior=0 for rays that missed every shard (psum of zeros); make it safe
@@ -140,6 +153,7 @@ def trace_rays_sharded(
     key: jax.Array,
     max_depth: int,
     axis_name: str = SCENE_AXIS,
+    local_intersect=None,
 ) -> jnp.ndarray:
     """Fixed-depth trace with scene sharded over axis_name (inside shard_map)."""
     state = init_state(ray_o, ray_d)
@@ -148,7 +162,8 @@ def trace_rays_sharded(
     )
 
     def step(s, k):
-        return bounce_step_sharded(s, k, scene_shard, axis_name), None
+        return bounce_step_sharded(s, k, scene_shard, axis_name,
+                                   local_intersect), None
 
     final, _ = jax.lax.scan(step, state, keys)
     return final.color
