@@ -192,7 +192,8 @@ def shard_scene(scene: Scene, n_shards: int) -> Scene:
 
 
 def _trace_sample_sum_local(
-    scene_shard: Scene, key: jax.Array, sample_indices, ids, camera: Camera, depth: int
+    scene_shard: Scene, key: jax.Array, sample_indices, ids, camera: Camera,
+    depth: int, local_intersect=None,
 ) -> jnp.ndarray:
     """Sum of per-sample colors for this device's ray tile, scanning the
     sample axis INSIDE the program (mirrors sharded._render_ids) — one
@@ -207,14 +208,31 @@ def _trace_sample_sum_local(
         k = jax.random.fold_in(k, jax.lax.axis_index(RAYS_AXIS))
         k_cam, k_trace = jax.random.split(k)
         o, d = generate_rays(camera, k_cam, ids % w, ids // w)
-        return acc + trace_rays_sharded(scene_shard, o, d, k_trace, depth), None
+        return acc + trace_rays_sharded(
+            scene_shard, o, d, k_trace, depth, local_intersect=local_intersect
+        ), None
 
     acc0 = jnp.zeros((ids.shape[0], 3), jnp.float32)
     acc, _ = jax.lax.scan(one_sample, acc0, sample_indices)
     return acc
 
 
-def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[int] = None):
+def _default_local_intersect(local_intersect):
+    """"auto" -> the Pallas VMEM sweep on TPU, pure JAX elsewhere (the
+    kernel needs compiled Mosaic; interpret mode is test-only)."""
+    if local_intersect != "auto":
+        return local_intersect
+    if jax.devices()[0].platform != "cpu":  # same convention as bench.py
+        from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
+            closest_hit_pallas,
+        )
+
+        return closest_hit_pallas
+    return None
+
+
+def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[int] = None,
+                              local_intersect="auto"):
     """Jitted sample-batched renderer with rays sharded over "rays" AND the
     scene sharded over "scene" — the full 2D (ray servers x object servers)
     topology of the reference, as one shard_mapped program.
@@ -224,10 +242,11 @@ def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[in
     of mesh.shape["rays"].
     """
     depth = max_depth if max_depth is not None else camera.max_depth
+    li = _default_local_intersect(local_intersect)
 
     def local_fn(scene_shard, key, sample_indices, ids):
         return _trace_sample_sum_local(
-            scene_shard, key, sample_indices, ids, camera, depth
+            scene_shard, key, sample_indices, ids, camera, depth, li
         )
 
     smapped = shard_map(
