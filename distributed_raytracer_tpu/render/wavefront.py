@@ -451,6 +451,7 @@ def render_image_wavefront(
     progress_cb=None,
     ray_order: str = "row",
     resort_every: int = 0,
+    refill_every: int = 1,
 ) -> np.ndarray:
     """Full-image wavefront render; returns linear mean [H, W, 3] on host.
 
@@ -477,7 +478,7 @@ def render_image_wavefront(
         render = jax.jit(
             functools.partial(
                 render_wavefront_sum, intersect_fn=intersect_fn,
-                resort_every=resort_every,
+                resort_every=resort_every, refill_every=refill_every,
             ),
             static_argnames=("spp", "pool_size"),
         )
