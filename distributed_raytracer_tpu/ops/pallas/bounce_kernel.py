@@ -345,11 +345,15 @@ def _auto_chunk(n0: int) -> int:
     winner matmul issue, carry update) and grows the one-hot matmul toward
     MXU-efficient shapes — measured +8% end-to-end at 512 spheres (chunk
     512 vs 128: 16.95 vs 15.64 M rays/s, same padded sweep size).
-    DRAY_FORCE_CHUNK overrides for hardware A/B debugging."""
+    DRAY_FORCE_CHUNK overrides for hardware A/B debugging — set it BEFORE
+    the process's first fused_bounce call (the jit caches on chunk=0, so a
+    later change is silently ignored) and use a multiple of 128."""
     import os
 
     forced = int(os.environ.get("DRAY_FORCE_CHUNK", "0"))
     if forced:
+        if forced % LANE:
+            raise ValueError(f"DRAY_FORCE_CHUNK must be a multiple of {LANE}")
         return forced
     return min(512, -(-n0 // LANE) * LANE)
 

@@ -222,7 +222,7 @@ def _default_local_intersect(local_intersect):
     kernel needs compiled Mosaic; interpret mode is test-only)."""
     if local_intersect != "auto":
         return local_intersect
-    if jax.devices()[0].platform != "cpu":  # same convention as bench.py
+    if jax.devices()[0].platform in ("tpu", "axon"):  # NOT gpu: Mosaic only
         from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
             closest_hit_pallas,
         )

@@ -127,18 +127,23 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         depth = camera.max_depth
 
         def max_posdrain_spp():
-            for n in range(64, 0, -1):
-                total = camera.num_pixels * n
-                b = min(pool_size, total)
-                rows = wf.fused_drain_rows(total, depth, b)
-                if rows * b * 12 <= wf.POSDRAIN_HBM_CAP:
-                    return n
-            return 1
+            # largest spp whose drain buffer fits (shared predicate with the
+            # renderer — wf.pos_drain_fits — so the two can't disagree);
+            # None when even spp=1 falls back to planar scatters, in which
+            # case chunking has no benefit and we render in one call
+            if not wf.pos_drain_fits(camera.num_pixels, depth, pool_size):
+                return None
+            n = 1
+            while n < 4096 and wf.pos_drain_fits(
+                camera.num_pixels * (n + 1), depth, pool_size
+            ):
+                n += 1
+            return n
 
         cap = max_posdrain_spp()
 
         def fused_delta(k, n):
-            if n <= cap:
+            if cap is None or n <= cap:
                 return render(scene, camera, k, spp=n, pool_size=pool_size)
             acc = None
             done = 0

@@ -57,6 +57,16 @@ DEFAULT_POOL = 16384
 POSDRAIN_HBM_CAP = 2_500_000_000
 
 
+def pos_drain_fits(total: int, max_depth: int, pool: int,
+                   k_sub: int = 2) -> bool:
+    """Whether the fused renderer's pos-drain contrib buffer for `total`
+    rays fits POSDRAIN_HBM_CAP — the ONE predicate shared by the renderer
+    and the progressive sub-chunker (they must agree, or a sample batch
+    silently lands on the planar-scatter fallback)."""
+    b = min(pool, total)
+    return fused_drain_rows(total, max_depth, b, k_sub) * b * 12 <= POSDRAIN_HBM_CAP
+
+
 def fused_drain_rows(total: int, max_depth: int, b: int, k_sub: int = 2) -> int:
     """Worst-case pool-iteration rows for the fused renderer's pos-drain
     buffer.  Slack 2k: a packed boundary block + a ceil(max_depth/k)-block
@@ -294,7 +304,7 @@ def render_wavefront_sum_fused(
     k_sub = max(1, refill_every)
     t_worst = fused_drain_rows(total, max_depth, b, k_sub)
     if pos_drain is None:
-        pos_drain = t_worst * b * 12 <= POSDRAIN_HBM_CAP
+        pos_drain = pos_drain_fits(total, max_depth, pool_size, k_sub)
 
     def body(carry):
         o, d, atten, lane_ray, depth, live, emitted, out, it = carry
@@ -403,10 +413,10 @@ def render_wavefront_sum_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spp", "pool_size", "use_pallas")
+    jax.jit, static_argnames=("spp", "pool_size", "use_pallas", "refill_every")
 )
 def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas,
-                          pixel_perm=None):
+                          pixel_perm=None, refill_every=1):
     if use_pallas:
         from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
             closest_hit_pallas,
@@ -416,7 +426,7 @@ def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas,
     else:
         ifn = closest_hit
     return render_wavefront_sum(scene, camera, key, spp, pool_size, ifn,
-                                pixel_perm)
+                                pixel_perm, refill_every=refill_every)
 
 
 def warp_resort_permutation(origin, direction, active, bb_lo, bb_hi):
@@ -484,7 +494,8 @@ def render_image_wavefront(
         )
     else:
         render = functools.partial(
-            _render_wavefront_jit, use_pallas=use_pallas
+            _render_wavefront_jit, use_pallas=use_pallas,
+            refill_every=refill_every,
         )
 
     done = 0

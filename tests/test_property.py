@@ -18,7 +18,10 @@ from distributed_raytracer_tpu.models.scene import SceneBuilder
 from distributed_raytracer_tpu.ops.intersect import closest_hit
 from np_reference import NPScene, hit_scene
 
-_SETTINGS = dict(max_examples=20, deadline=None)
+# derandomize: a FIXED example set per hypothesis version — fresh random
+# seeds each CI run would make the statistical thresholds (idx agreement
+# > 0.99 under f32-vs-f64 near-tie flips) an intermittent-flake lottery
+_SETTINGS = dict(max_examples=20, deadline=None, derandomize=True)
 
 
 def _scene_from(seed: int, n_spheres: int):

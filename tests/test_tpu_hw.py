@@ -129,7 +129,7 @@ def test_culled_matches_dense_on_hardware():
     np.testing.assert_array_equal(np.asarray(got.idx)[h], np.asarray(ref.idx)[h])
 
 
-@pytest.mark.tpu
+@requires_tpu
 def test_winner_idx_exact_512_spheres():
     """Pins the excess-precision plane-split bug: with 512 spheres on a
     line and ray i aimed at sphere i, the fused kernel must return idx == i
