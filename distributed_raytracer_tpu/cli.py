@@ -67,6 +67,12 @@ def _resolve_engine(args, jax):
     deprecated --wavefront/--pallas flags map onto the engine names."""
     engine = args.engine
     if args.accel == "culled":
+        if engine not in ("auto", "wavefront"):
+            print(
+                f"[cli] --accel culled requires the wavefront engine; "
+                f"overriding --engine {engine}",
+                file=sys.stderr,
+            )
         return "wavefront"
     if engine == "auto":
         if args.wavefront:
@@ -215,8 +221,11 @@ def cmd_supervise(args):
     if child and child[0] == "--":
         child = child[1:]
     hb = None
-    if "--heartbeat" in child:
-        hb = child[child.index("--heartbeat") + 1]
+    for i, a in enumerate(child):
+        if a == "--heartbeat" and i + 1 < len(child):
+            hb = child[i + 1]
+        elif a.startswith("--heartbeat="):
+            hb = a.split("=", 1)[1]
     sup = Supervisor(
         child,
         heartbeat=hb,
@@ -409,24 +418,29 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     if getattr(args, "job", None):
-        # job file supplies defaults; explicit flags (non-default values)
-        # keep precedence because we only fill attrs still at their default
+        # job file supplies DEFAULTS; a flag the user actually typed wins.
+        # Default-value comparison cannot tell `--batch 16` from an omitted
+        # --batch, so explicitness is detected from the argv tokens.
         from distributed_raytracer_tpu.utils.config import RenderJobConfig
+
+        tokens = list(argv) if argv is not None else list(sys.argv[1:])
+
+        def typed(flag):
+            return any(a == flag or a.startswith(flag + "=") for a in tokens)
 
         with open(args.job) as f:
             job = RenderJobConfig.from_json(f.read())
-        if args.config == "config1" and job.preset:
+        if not typed("--config") and job.preset:
             args.config = job.preset
-        for attr, jval in (
-            ("seed", job.seed), ("spp", job.spp), ("batch", job.batch),
-            ("checkpoint", job.checkpoint_path), ("out", job.output),
-            ("engine", job.engine), ("fill", job.fill),
+        for attr, flag, jval in (
+            ("seed", "--seed", job.seed), ("spp", "--spp", job.spp),
+            ("batch", "--batch", job.batch),
+            ("checkpoint", "--checkpoint", job.checkpoint_path),
+            ("out", "--out", job.output), ("engine", "--engine", job.engine),
+            ("fill", "--fill", job.fill),
         ):
-            cur = getattr(args, attr, None)
-            default = {"seed": 0, "batch": 16, "engine": "auto", "fill": "row"}.get(attr)
-            if cur == default or cur is None:
-                if jval is not None:
-                    setattr(args, attr, jval)
+            if not typed(flag) and jval is not None:
+                setattr(args, attr, jval)
     args.fn(args)
 
 

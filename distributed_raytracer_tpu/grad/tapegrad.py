@@ -323,9 +323,17 @@ def _forward_tape(
     )
     out = jax.lax.while_loop(cond, body, carry0)
     pos, tape, n_it = out[7][:r], out[8], out[9]
+    # BUDGET OVERFLOW IS LOUD, not silent: if the loop exited at the budget
+    # cap with work remaining (rays unemitted or lanes live), the render is
+    # truncated and its gradients would be silently wrong — poison the
+    # colors with NaN so any downstream loss/grad screams immediately.
+    # Production callers (bench.py) pre-check the trip count untimed and
+    # fall back to the worst-case budget.
+    truncated = (out[6] < r) | jnp.any(out[5])
     # assemble per-ray colors with one gather from the tape's contrib
     # columns; depth-exhausted rays never finished (pos -1) -> black
     flat_contrib = tape.fdata[:, :, 13:16].reshape(t_budget * b, 3)
+    flat_contrib = jnp.where(truncated, jnp.nan, flat_contrib)
     color = jnp.where(
         (pos >= 0)[:, None],
         flat_contrib[jnp.clip(pos, 0, t_budget * b - 1)],

@@ -554,8 +554,9 @@ def _culled_walk_fwd(
         constant_values=0.0,
     )
     # padded rows must be guaranteed misses: r2 = -1
-    miss = jnp.zeros((n_blocks, c_pad - n_chunks, LANE), jnp.float32).at[:, :, 3].set(-1.0)
-    bounds_pack = bounds_pack.at[:, n_chunks:, :].set(miss)
+    # padded positions: guaranteed-miss bound (r^2 = -1); the pad above
+    # already zeroed everything else
+    bounds_pack = bounds_pack.at[:, n_chunks:, 3].set(-1.0)
 
     ray_spec = pl.BlockSpec(
         (1, br), lambda i, ord_, nv_: (0, i), memory_space=pltpu.VMEM

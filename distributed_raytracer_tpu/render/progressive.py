@@ -113,6 +113,16 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         )
 
     if engine == "fused":
+        if resort_every or ray_order == "tiled":
+            import sys
+
+            print(
+                "[render] the fused engine has no lane re-sort / ray-order "
+                "support (its on-core RNG is lane-keyed); --resort/tiled "
+                "order are ignored — use --engine wavefront for the culled/"
+                "coherence path",
+                file=sys.stderr,
+            )
         render = jax.jit(
             wf.render_wavefront_sum_fused, static_argnames=("spp", "pool_size")
         )
@@ -168,7 +178,8 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
             scene, camera, k, spp=n, pool_size=pool_size, pixel_perm=perm
         )
     return lambda k, n: wf._render_wavefront_jit(
-        scene, camera, k, n, pool_size, use_pallas, perm
+        scene, camera, k, n, pool_size, use_pallas, perm,
+        resort_every=resort_every,
     )
 
 

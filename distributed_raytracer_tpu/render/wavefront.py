@@ -118,34 +118,14 @@ def render_wavefront_sum(
     max_depth = camera.max_depth
 
     if resort_every:
-        # static scene bounding box for the Morton cell quantization
+        # static scene bounding box for the Morton cell quantization;
+        # the key/argsort itself is warp_resort_permutation (one
+        # implementation for production, probes, and tests)
         real = scene.radii > 0.0
         safe_c = jnp.where(real[:, None], scene.centers, 0.0)
         safe_r = jnp.where(real, scene.radii, 0.0)
         bb_lo = jnp.min(safe_c - safe_r[:, None], axis=0)
         bb_hi = jnp.max(safe_c + safe_r[:, None], axis=0)
-        bb_scale = 7.999 / jnp.maximum(bb_hi - bb_lo, 1e-6)
-
-        def lane_key(st):
-            cell = jnp.clip(
-                ((st.origin - bb_lo) * bb_scale).astype(jnp.int32), 0, 7
-            )  # [B, 3] in 0..7
-            # 3-bit/axis Morton interleave (x,y,z -> 9 bits)
-            def spread(v):  # 0..7 -> bits at positions 0,3,6
-                return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
-
-            morton = (
-                spread(cell[:, 0])
-                | (spread(cell[:, 1]) << 1)
-                | (spread(cell[:, 2]) << 2)
-            )
-            octant = (
-                (st.direction[:, 0] > 0).astype(jnp.int32)
-                | ((st.direction[:, 1] > 0).astype(jnp.int32) << 1)
-                | ((st.direction[:, 2] > 0).astype(jnp.int32) << 2)
-            )
-            k = (morton << 3) | octant
-            return jnp.where(st.active, k, jnp.int32(1 << 30))
 
     k_sub = max(1, refill_every)
 
@@ -158,7 +138,9 @@ def render_wavefront_sum(
 
             def do_resort(args):
                 st, lane_ray, depth = args
-                perm = jnp.argsort(lane_key(st))
+                perm = warp_resort_permutation(
+                    st.origin, st.direction, st.active, bb_lo, bb_hi
+                )
                 return (
                     RayState(
                         origin=st.origin[perm],
@@ -413,10 +395,12 @@ def render_wavefront_sum_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spp", "pool_size", "use_pallas", "refill_every")
+    jax.jit,
+    static_argnames=("spp", "pool_size", "use_pallas", "refill_every",
+                     "resort_every"),
 )
 def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas,
-                          pixel_perm=None, refill_every=1):
+                          pixel_perm=None, refill_every=1, resort_every=0):
     if use_pallas:
         from distributed_raytracer_tpu.ops.pallas.intersect_kernel import (
             closest_hit_pallas,
@@ -426,7 +410,8 @@ def _render_wavefront_jit(scene, camera, key, spp, pool_size, use_pallas,
     else:
         ifn = closest_hit
     return render_wavefront_sum(scene, camera, key, spp, pool_size, ifn,
-                                pixel_perm, refill_every=refill_every)
+                                pixel_perm, resort_every=resort_every,
+                                refill_every=refill_every)
 
 
 def warp_resort_permutation(origin, direction, active, bb_lo, bb_hi):
@@ -495,7 +480,7 @@ def render_image_wavefront(
     else:
         render = functools.partial(
             _render_wavefront_jit, use_pallas=use_pallas,
-            refill_every=refill_every,
+            refill_every=refill_every, resort_every=resort_every,
         )
 
     done = 0
