@@ -73,7 +73,8 @@ def main():
     # gave 13-14.5/15.1/15.3/14.7/13.2 M rays/s pre-block-refill — smaller
     # pools cut per-slot refill+drain overhead until per-iteration fixed
     # costs take over); with refill_every=2 (renderer default) and the
-    # chunk-512 kernel the official measured 19.8 M rays/s
+    # chunk-512 kernel the official measured 20.1 M rays/s (BENCH_r02.json
+    # extras.fwd_rays_per_sec = 20,070,932)
     @jax.jit
     def fwd(scene, key):
         if on_tpu:

@@ -22,6 +22,12 @@ import time
 
 def _add_common(p):
     p.add_argument("--config", default="config1", help="preset name (config1..config5)")
+    p.add_argument("--scene", default=None, metavar="FILE",
+                   help="user-authored scene file (.json or .npz, "
+                        "models/scene_io.py schema); overrides the preset "
+                        "scene, and its camera too when the file has one "
+                        "(the reference's arbitrary-scene ingestion, "
+                        "messages.rs:41-94 / client.rs:18-50)")
     p.add_argument("--spp", type=int, default=None, help="override samples per pixel")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=16, help="samples per device program")
@@ -41,7 +47,16 @@ def _setup_backend(args):
 def _load(args):
     from distributed_raytracer_tpu.models.presets import get_config
 
-    scene, cam = get_config(args.config)
+    if getattr(args, "scene", None):
+        from distributed_raytracer_tpu.models.scene_io import load_scene
+
+        scene, file_cam = load_scene(args.scene)
+        # camera: the file's if it carries one, else the preset's (so
+        # --config still chooses image size/spp defaults for camera-less
+        # scene files); --width/--spp flags below override either way
+        cam = file_cam if file_cam is not None else get_config(args.config)[1]
+    else:
+        scene, cam = get_config(args.config)
     if args.width:
         from distributed_raytracer_tpu.ops.camera import make_camera
 
@@ -89,6 +104,7 @@ def _job_config(args, engine):
 
     return RenderJobConfig(
         preset=args.config,
+        scene_path=getattr(args, "scene", None),
         seed=args.seed,
         spp=args.spp,
         batch=args.batch,
@@ -340,9 +356,31 @@ def cmd_invert(args):
     print(f"final albedo MAE: {err:.4f}", file=sys.stderr)
 
 
+def cmd_export_scene(args):
+    from distributed_raytracer_tpu.models.presets import get_config
+    from distributed_raytracer_tpu.models.scene_io import save_scene
+
+    scene, cam = get_config(args.config)
+    save_scene(args.out, scene, None if args.no_camera else cam)
+    print(f"wrote {args.out} ({scene.num_spheres} spheres)", file=sys.stderr)
+
+
+class _NoAbbrevParser(argparse.ArgumentParser):
+    """argparse with prefix abbreviations disabled: the --job precedence
+    logic detects explicitly-typed flags by scanning argv for exact
+    '--flag'/'--flag=' tokens, so an abbreviated flag (e.g. '--check' for
+    '--checkpoint') would parse but evade detection and get silently
+    overridden by the job-file value (review finding)."""
+
+    def __init__(self, *a, **kw):
+        kw.setdefault("allow_abbrev", False)
+        super().__init__(*a, **kw)
+
+
 def main(argv=None):
-    ap = argparse.ArgumentParser(prog="distributed_raytracer_tpu")
-    sub = ap.add_subparsers(dest="cmd", required=True)
+    ap = _NoAbbrevParser(prog="distributed_raytracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True,
+                            parser_class=_NoAbbrevParser)
 
     p = sub.add_parser("render", help="single-device progressive render")
     _add_common(p)
@@ -407,6 +445,17 @@ def main(argv=None):
                    help="shard the sphere axis over this many devices")
     p.set_defaults(fn=cmd_render_dist)
 
+    p = sub.add_parser(
+        "export-scene",
+        help="write a preset scene (+ its camera) to a .json/.npz scene "
+             "file — authoring starting point for `render --scene`")
+    p.add_argument("--config", default="config4",
+                   help="preset to export (config1..config5)")
+    p.add_argument("--no-camera", action="store_true",
+                   help="omit the camera section")
+    p.add_argument("out", help="output path (.json or .npz)")
+    p.set_defaults(fn=cmd_export_scene)
+
     p = sub.add_parser("grad-check", help="dL/dscene sanity check")
     _add_common(p)
     p.set_defaults(fn=cmd_grad_check)
@@ -433,6 +482,7 @@ def main(argv=None):
         if not typed("--config") and job.preset:
             args.config = job.preset
         for attr, flag, jval in (
+            ("scene", "--scene", job.scene_path),
             ("seed", "--seed", job.seed), ("spp", "--spp", job.spp),
             ("batch", "--batch", job.batch),
             ("checkpoint", "--checkpoint", job.checkpoint_path),

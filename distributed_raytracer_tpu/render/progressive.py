@@ -155,11 +155,18 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         def fused_delta(k, n):
             if cap is None or n <= cap:
                 return render(scene, camera, k, spp=n, pool_size=pool_size)
+            # Sub-chunk using ONLY spp sizes {cap, 1}: spp is a static jit
+            # argument and a first-time remote compile of a changed kernel
+            # costs 3-10 min on this toolchain, so a ragged tail chunk
+            # (n % cap) would pay a full second compile per distinct tail
+            # size (review finding).  The tail runs as spp=1 calls instead —
+            # n > cap only happens at large images where cap is small, so
+            # the tail is at most cap-1 (a handful of) cheap calls.
             acc = None
             done = 0
             i = 0
             while done < n:
-                c = min(cap, n - done)
+                c = cap if n - done >= cap else 1
                 part = render(scene, camera, jax.random.fold_in(k, i),
                               spp=c, pool_size=pool_size)
                 acc = part if acc is None else acc + part

@@ -37,6 +37,9 @@ class CameraConfig:
 @dataclasses.dataclass
 class RenderJobConfig:
     preset: Optional[str] = None      # config1..config5 or None for custom
+    scene_path: Optional[str] = None  # scene file (models/scene_io.py); wins
+                                      # over preset for the scene (and camera
+                                      # when the file carries one)
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     seed: int = 0
     scene_seed: int = 0
@@ -51,11 +54,19 @@ class RenderJobConfig:
     fill: str = "row"                 # row | shuffled (progressive fill order)
 
     def build(self) -> Tuple[Scene, Camera]:
-        if self.preset:
+        if self.scene_path:
+            from distributed_raytracer_tpu.models.scene_io import load_scene
+
+            scene, cam = load_scene(self.scene_path)
+            if cam is None:
+                cam = (presets.get_config(self.preset)[1] if self.preset
+                       else self.camera.build())
+        elif self.preset:
             scene, cam = presets.get_config(self.preset)
         else:
-            scene, cam = None, self.camera.build()
-            raise ValueError("custom scenes: use presets or the SceneBuilder API")
+            raise ValueError(
+                "custom scenes: set scene_path (scene_io file), a preset, "
+                "or use the SceneBuilder API")
         if self.spp is not None:
             cam = cam.replace(samples_per_pixel=self.spp)
         return scene, cam

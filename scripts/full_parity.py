@@ -137,19 +137,24 @@ def ref_phase():
             os.replace(ref_ck + ".tmp.npz", ref_ck)
     ref = acc / SPP
 
-    got = img.reshape(-1, 3)[pix]
-    diff = np.abs(got - ref)
-    print(f"subset={SUBSET} pixels @ {SPP} spp (f64 reference)")
-    print(f"mean |diff| = {diff.mean():.5f}   p99 = {np.quantile(diff, 0.99):.5f}")
-    # MC noise floor at 500 spp: per-pixel sigma ~0.2-0.5 -> sem ~0.01-0.02;
-    # two independent estimators differ by ~sqrt(2)*sem
-    assert diff.mean() < 0.02, "parity failure beyond MC noise"
-    print("PARITY OK (within Monte-Carlo noise at matching spp)")
     # the resume checkpoint keys only on existence — a finished one left
     # behind would silently freeze the reference across future scene/code
-    # changes (review finding); it is cheap to recompute, so drop it
-    if os.path.exists(ref_ck):
-        os.remove(ref_ck)
+    # changes; the last periodic save (s=499) IS a completed checkpoint, so
+    # delete it even when the assertion below fails (review finding: an
+    # assert-path leak froze the reference for every later run).  It is
+    # cheap to recompute.
+    try:
+        got = img.reshape(-1, 3)[pix]
+        diff = np.abs(got - ref)
+        print(f"subset={SUBSET} pixels @ {SPP} spp (f64 reference)")
+        print(f"mean |diff| = {diff.mean():.5f}   p99 = {np.quantile(diff, 0.99):.5f}")
+        # MC noise floor at 500 spp: per-pixel sigma ~0.2-0.5 -> sem ~0.01-0.02;
+        # two independent estimators differ by ~sqrt(2)*sem
+        assert diff.mean() < 0.02, "parity failure beyond MC noise"
+        print("PARITY OK (within Monte-Carlo noise at matching spp)")
+    finally:
+        if os.path.exists(ref_ck):
+            os.remove(ref_ck)
 
 
 if __name__ == "__main__":

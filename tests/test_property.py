@@ -10,6 +10,9 @@ example, and every property is checked vectorized over a ray batch.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
