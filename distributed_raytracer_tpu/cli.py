@@ -259,17 +259,32 @@ def cmd_supervise(args):
 
 
 def cmd_render_dist(args):
-    _setup_backend(args)
+    # One command launches/joins the whole fleet (the run_server.rs:23-51
+    # role): every process runs THIS same command; jax.distributed supplies
+    # membership (no multicast discovery).  initialize() must precede any
+    # backend query; _setup_backend only touches config flags, so it is
+    # safe (and required, for --cpu) to run first.
+    jax = _setup_backend(args)
+    from distributed_raytracer_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    p0 = jax.process_index() == 0
+
     from distributed_raytracer_tpu.parallel import ShardedRenderer, make_mesh
     from distributed_raytracer_tpu.render.image import write_ppm
 
+    import numpy as np
+
     scene, cam = _load(args)
     mesh = make_mesh(n_scene=args.scene_shards)
+    spp = cam.samples_per_pixel
     if args.scene_shards > 1:
         # run the fully 2D-sharded path (rays x scene)
-        import jax
         import jax.numpy as jnp
-        import numpy as np
 
         from distributed_raytracer_tpu.parallel import (
             make_scene_sharded_render,
@@ -277,31 +292,73 @@ def cmd_render_dist(args):
         )
         from distributed_raytracer_tpu.parallel.mesh import RAYS_AXIS, pad_to_multiple
 
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from distributed_raytracer_tpu.parallel.mesh import SCENE_AXIS
+
         padded = shard_scene(scene, args.scene_shards)
+        # place inputs as GLOBAL arrays (put_global works 1 process -> pod;
+        # plain host arrays are only auto-accepted when fully replicated)
+        padded = jax.tree.map(
+            lambda x: multihost.put_global(
+                np.asarray(x), NamedSharding(mesh, P(SCENE_AXIS))
+            ),
+            padded,
+        )
         render = make_scene_sharded_render(mesh, cam)
         n = cam.num_pixels
         m = pad_to_multiple(n, mesh.shape[RAYS_AXIS])
-        ids = jnp.asarray(np.r_[np.arange(n), np.zeros(m - n)], jnp.int32)
+        ids = multihost.put_global(
+            np.r_[np.arange(n), np.zeros(m - n)].astype(np.int32),
+            NamedSharding(mesh, P(RAYS_AXIS)),
+        )
         key = jax.random.PRNGKey(args.seed)
-        spp = cam.samples_per_pixel
-        acc = jnp.zeros((m, 3), jnp.float32)
+        acc = None
         # sample batches scanned INSIDE the sharded program: ceil(spp/batch)
         # dispatches, not one per sample
         done = 0
         while done < spp:
             nb = min(args.batch, spp - done)
             s = jnp.arange(done, done + nb, dtype=jnp.int32)
-            acc = acc + render(padded, key, s, ids)
+            part = render(padded, key, s, ids)
+            acc = part if acc is None else acc + part
             done += nb
-            print(f"samples {done}/{spp}", file=sys.stderr)
-        img = (np.asarray(acc[:n]) / spp).reshape(cam.image_height, cam.image_width, 3)
+            if p0:
+                print(f"samples {done}/{spp}", file=sys.stderr)
+        # gather BEFORE slicing: under multi-process the accumulator is not
+        # fully addressable and host slicing would throw
+        img = (multihost.gather_image(acc)[:n] / spp).reshape(
+            cam.image_height, cam.image_width, 3
+        )
     else:
+        import jax.numpy as jnp
+
         r = ShardedRenderer(mesh, cam)
-        img = r.render_image(scene, seed=args.seed, spp=cam.samples_per_pixel,
-                             batch=args.batch)
+        key = jax.random.PRNGKey(args.seed)
+        acc = None
+        done = 0
+        while done < spp:
+            nb = min(args.batch, spp - done)
+            s = jnp.arange(done, done + nb, dtype=jnp.int32)
+            out = r.render_sample_sum_padded(scene, key, s)
+            acc = out if acc is None else acc + out
+            done += nb
+            if p0:
+                print(f"samples {done}/{spp}", file=sys.stderr)
+        img = (multihost.gather_image(acc)[: cam.num_pixels] / spp).reshape(
+            cam.image_height, cam.image_width, 3
+        )
+    # ONE image, written once (the client's role, client.rs:104-121):
+    # every process computed/gathered the same global result
     out = args.out or f"{args.config}_dist.ppm"
-    write_ppm(out, img)
-    print(f"wrote {out} (mesh {dict(mesh.shape)})", file=sys.stderr)
+    if p0:
+        write_ppm(out, img)
+        print(
+            f"wrote {out} (mesh {dict(mesh.shape)}, "
+            f"{jax.process_count()} process(es))",
+            file=sys.stderr,
+        )
 
 
 def cmd_grad_check(args):
@@ -439,10 +496,21 @@ def main(argv=None):
                    help="-- render <flags...> (include --checkpoint)")
     p.set_defaults(fn=cmd_supervise)
 
-    p = sub.add_parser("render-dist", help="mesh-sharded render (all devices)")
+    p = sub.add_parser(
+        "render-dist",
+        help="mesh-sharded render (all devices; run the SAME command on "
+             "every process of a multi-process job — the run_server.rs "
+             "fleet launch as one CLI)")
     _add_common(p)
     p.add_argument("--scene-shards", type=int, default=1,
                    help="shard the sphere axis over this many devices")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator (or set "
+                        "JAX_COORDINATOR_ADDRESS); omit for single-process")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="processes in the job (or JAX_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id (or JAX_PROCESS_ID)")
     p.set_defaults(fn=cmd_render_dist)
 
     p = sub.add_parser(

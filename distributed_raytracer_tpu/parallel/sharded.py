@@ -103,6 +103,15 @@ class ShardedRenderer:
         out = self._render(scene, self.camera, key, sample_indices, self.ids)
         return out[: self.camera.num_pixels]
 
+    def render_sample_sum_padded(
+        self, scene: Scene, key: jax.Array, sample_indices: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Like render_sample_sum but WITHOUT the host-side slice to
+        num_pixels: under multi-process the result is a global array that is
+        not fully addressable, and slicing it on the host throws — gather
+        first (multihost.gather_image), then slice the numpy result."""
+        return self._render(scene, self.camera, key, sample_indices, self.ids)
+
     def render_image(self, scene: Scene, seed: int = 0, spp: Optional[int] = None,
                      batch: int = 16) -> np.ndarray:
         spp = spp if spp is not None else self.camera.samples_per_pixel

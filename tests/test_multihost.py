@@ -63,3 +63,71 @@ def test_two_process_render_matches_single(tmp_path):
     # same program, same seed: the sharded forward has no cross-device
     # reductions, so the match is exact
     np.testing.assert_array_equal(multi, single)
+
+
+@pytest.mark.slow
+def test_render_dist_cli_two_process(tmp_path):
+    """The fleet launch as ONE command (run_server.rs:23-51 parity): the
+    SAME `render-dist` CLI invocation runs on two processes, joins via
+    jax.distributed, and process 0 writes ONE image byte-identical to a
+    single-process run of the same command."""
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(extra_env, out_path, fake_devices):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={fake_devices}"
+        )
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        env.update(extra_env)
+        return subprocess.Popen(
+            [_sys.executable, "-m", "distributed_raytracer_tpu.cli",
+             "render-dist", "--config", "config1", "--cpu", "--spp", "2",
+             "--width", "48", "--batch", "2", "--out", out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    # single-process reference (2 fake devices)
+    single_out = str(tmp_path / "single.ppm")
+    p = run_cli({}, single_out, fake_devices=2)
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, out
+    assert os.path.exists(single_out)
+
+    # 2-process job, 2 fake devices each -> 4-device global mesh
+    coordinator = f"127.0.0.1:{_free_port()}"
+    multi_out = str(tmp_path / "multi.ppm")
+    procs = [
+        run_cli(
+            {"JAX_COORDINATOR_ADDRESS": coordinator,
+             "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)},
+            multi_out, fake_devices=2,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{o}"
+    # exactly one writer: only process 0 announced the file
+    assert sum("wrote" in o for o in outs) == 1, outs
+
+    with open(single_out, "rb") as f:
+        single_bytes = f.read()
+    with open(multi_out, "rb") as f:
+        multi_bytes = f.read()
+    # the sharded forward is pure data-parallel per-pixel math (no
+    # cross-device reductions), so the 4-device 2-process image matches
+    # the single-process one byte-for-byte
+    assert single_bytes == multi_bytes
