@@ -123,6 +123,14 @@ def cmd_render(args):
 
     scene, cam = _load(args)
     engine = _resolve_engine(args, jax)
+    if args.sanitize:
+        from distributed_raytracer_tpu.utils.sanitize import preflight
+
+        print("[sanitize] checkified fwd+grad pre-flight...", file=sys.stderr)
+        preflight(scene, cam, seed=args.seed)
+        print("[sanitize] clean; rendering under jax_debug_nans",
+              file=sys.stderr)
+        jax.config.update("jax_debug_nans", True)
     intersect_fn = None
     if args.accel == "culled":
         from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
@@ -471,6 +479,11 @@ def main(argv=None):
                    help="port for --display (0 = ephemeral)")
     p.add_argument("--display-linger", action="store_true",
                    help="keep serving the final frame after the render ends")
+    p.add_argument("--sanitize", action="store_true",
+                   help="sanitizer tier (SURVEY §5): checkified forward+"
+                        "gradient pre-flight on a small ray batch (catches "
+                        "NaN/inf at the producing op, masked or not), then "
+                        "render under jax_debug_nans")
     p.add_argument("--heartbeat", default=None, metavar="PATH",
                    help="touch PATH every progress step (stall detection "
                         "for `supervise`)")
