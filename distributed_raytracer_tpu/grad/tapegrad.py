@@ -342,6 +342,58 @@ def _forward_tape(
     return color, tape, n_it, pos
 
 
+def _forward_tape_mega(
+    scene: Scene,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    key: jax.Array,
+    max_depth: int,
+    pool: int,
+    budget: Optional[int] = None,
+    block_rays: int = 512,
+    pad_rows: int = 2,
+):
+    """Recording wavefront forward as ONE Pallas mega-kernel
+    (ops/pallas/mega_kernel.py): refill + fused bounce + tape record per
+    grid step, pool state in VMEM scratch — the while-loop self time,
+    refill machinery, keep/atten glue and tape pack of `_forward_tape`
+    all disappear into the kernel.  Same (color, tape, n_it, pos)
+    contract; the tape feeds the UNCHANGED `_backward_tape`/
+    `replay_from_tape`.  Ray->lane assignment differs (private per-lane
+    queues — a valid estimator of the same integral, like changing pool
+    size).  TPU only (interpret mode on CPU for tests)."""
+    from distributed_raytracer_tpu.ops.pallas.mega_kernel import (
+        mega_forward,
+    )
+
+    r = ray_o.shape[0]
+    b = min(pool, -(-r // 128) * 128)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    out = mega_forward(
+        scene, ray_o, ray_d, seed, max_depth, pool=b,
+        budget=(budget or 0), block_rays=block_rays, pad_rows=pad_rows,
+    )
+    t_budget = out.fplanes[0].shape[0]
+    # one bulk stack into the packed layouts the backward consumes (rows
+    # beyond n_it are uninitialized memory — never read: the backward
+    # walks n_it..1 and pos only points below n_it*b)
+    fdata = jnp.stack([p[:, 0, :] for p in out.fplanes], axis=-1)
+    idata = jnp.stack([p[:, 0, :] for p in out.iplanes], axis=-1)
+    tape = _Tape(fdata=fdata, idata=idata)
+    pos = out.pos_cb.reshape(-1)[:r]
+    # budget overflow is LOUD (same contract as _forward_tape): clean=0
+    # means rays were left unfinished at the budget cap
+    truncated = out.clean == 0
+    flat_contrib = fdata[:, :, 13:16].reshape(t_budget * b, 3)
+    flat_contrib = jnp.where(truncated, jnp.nan, flat_contrib)
+    color = jnp.where(
+        (pos >= 0)[:, None],
+        flat_contrib[jnp.clip(pos, 0, t_budget * b - 1)],
+        0.0,
+    )
+    return color, tape, out.n_it, pos
+
+
 def _local_f(o, d, atten, color, cw, rw, aw, fw, iw, mat, ruv, u, hit, active):
     """The differentiable local bounce with unpacked winner params — shared
     with pathgrad's backward so the two estimators stay in lockstep."""
@@ -600,32 +652,45 @@ def make_tape_tracer(
     refill_every: int = 1,
     block_rays: int = 0,
     loop_unroll: int = 1,
+    use_mega: bool = False,
+    mega_pad: int = 2,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
-    VJP.  The TPU production config is use_fused=True (fused bounce kernel
-    forward) + the reverse-tape backward.  block_rays: fused-kernel ray-block
-    width override (0 = kernel default)."""
+    VJP.  The TPU production config is use_mega=True (the whole recording
+    forward as ONE Pallas program, ops/pallas/mega_kernel.py); use_fused
+    routes the host-loop forward through the fused bounce kernel (the
+    round-2 production path, still the fallback for scenes larger than
+    one sweep chunk).  block_rays: kernel ray-block width override
+    (0 = kernel default)."""
+    # the mega forward pads n_it to a multiple of mega_pad so the
+    # backward's unrolled replay divides it exactly
+    bwd_unroll = mega_pad if use_mega else max(1, refill_every)
+
+    def run_fwd(scene, ray_o, ray_d, k):
+        if use_mega:
+            return _forward_tape_mega(
+                scene, ray_o, ray_d, k, max_depth, pool, budget,
+                block_rays or 512, mega_pad,
+            )
+        return _forward_tape(
+            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
+            budget, planar, refill_every, block_rays, loop_unroll,
+        )
 
     @jax.custom_vjp
     def traced_k(scene, ray_o, ray_d, k):
-        color, _, _, _ = _forward_tape(
-            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar, refill_every, block_rays, loop_unroll,
-        )
+        color, _, _, _ = run_fwd(scene, ray_o, ray_d, k)
         return color
 
     def traced_fwd(scene, ray_o, ray_d, k):
-        color, tape, n_it, pos = _forward_tape(
-            scene, ray_o, ray_d, k, max_depth, pool, intersect_fn, use_fused,
-            budget, planar, refill_every, block_rays, loop_unroll,
-        )
+        color, tape, n_it, pos = run_fwd(scene, ray_o, ray_d, k)
         return color, (scene, tape, n_it, pos)
 
     def traced_bwd(res, g_color):
         scene, tape, n_it, pos = res
         d_scene, g_o, g_d = _backward_tape(
             scene, tape, n_it, pos, g_color, segsum, planar,
-            unroll=max(1, refill_every),
+            unroll=bwd_unroll,
         )
         import numpy as _np
 

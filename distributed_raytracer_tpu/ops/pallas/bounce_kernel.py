@@ -90,6 +90,209 @@ _A_AR, _A_AG, _A_AB, _A_FZ, _A_IO, _A_MT, _A_IDX = 4, 5, 6, 7, 8, 9, 10
 _A_ROWS = 16
 
 
+def _sweep_winner(ox, oy, oz, dx, dy, dz, a, inv_a, cx, cy, cz, r2, attrs):
+    """One sphere-chunk sweep + MXU winner-attribute selection.
+
+    Inputs: ray rows [1, BR], scene columns [CHUNK, 1], attr planes
+    [48, CHUNK] bf16 (hi/mid/lo).  Returns (t_c [1, BR] chunk-min t,
+    wa [16, BR] the chunk winner's attributes, zero rows when no sphere in
+    the chunk hits).  Shared by the per-chunk grid kernel (_bounce_kernel)
+    and the pool-iteration mega kernel (mega_kernel.py)."""
+    ocx = cx - ox
+    ocy = cy - oy
+    ocz = cz - oz
+    h = dx * ocx + dy * ocy + dz * ocz
+    c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    disc = h * h - a * c_q
+    ok = disc >= 0.0
+    sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    rn = (h - sqrtd) * inv_a
+    rf = (h + sqrtd) * inv_a
+    t = jnp.where(
+        ok & (rn > T_MIN), rn, jnp.where(ok & (rf > T_MIN), rf, BIG)
+    )
+    t_c = jnp.min(t, axis=0, keepdims=True)
+    # Exactly one-hot winner mask: gate to the argmin sublane so that when two
+    # DISTINCT spheres tie for the chunk minimum, every carried attribute (and
+    # the index row) comes from the same sphere — the first-min row, matching
+    # jnp.argmin's tie rule.  (A plain t == t_c mask could mix fields.)
+    i_min = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]  # (1, BR)
+    row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+
+    # All ten winner attributes (and the global sphere index, row _A_IDX) in
+    # ONE MXU matmul: attrs[48, CHUNK] @ one_hot[CHUNK, BR], bf16 operands,
+    # f32 accumulation.  Exact: the one-hot is exact in bf16, each product
+    # is attr_plane * 1.0, and the hi/mid/lo planes (split host-side) sum
+    # back to the f32 attribute bit-for-bit.  When no sphere in the chunk
+    # hits, the one-hot is all-zero -> wa is zero.
+    # The one-hot is built by f32 arithmetic (masks stay in 32-bit tiling)
+    # then cast: selecting bf16 literals under a (CHUNK, BR) i1 mask asks
+    # Mosaic for an i1 relayout (8,128)->(16,128) it cannot do ("Invalid
+    # relayout: non-singleton dim replicated in destination").
+    sel_f = (row == i_min).astype(jnp.float32) * (
+        t_c < BIG * 0.5
+    ).astype(jnp.float32)  # (CHUNK, BR) exact one-hot, first-min row only
+    selm = sel_f.astype(jnp.bfloat16)
+    wa3 = jax.lax.dot_general(
+        attrs,
+        selm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [48, BR] = the three bf16 planes, selected
+    wa = (
+        wa3[0:_A_ROWS]
+        + wa3[_A_ROWS:2 * _A_ROWS]
+        + wa3[2 * _A_ROWS:3 * _A_ROWS]
+    )  # [16, BR]
+    return t_c, wa
+
+
+def _shade_vals(ox, oy, oz, dx, dy, dz, a, act, t_best, w):
+    """In-kernel shading of the pool against the winner attributes [16, BR]
+    — surface geometry, Lambertian/metal/dielectric scatter with the
+    on-core PRNG (caller must pltpu.prng_seed first), absorb/transparent
+    handling, sky for misses (camera.rs:118-144 semantics).
+
+    Returns rows (no_x, no_y, no_z, nd_x, nd_y, nd_z, at_r, at_g, at_b,
+    co_r, co_g, co_b, fin_i32, idx_i32, rux, ruy, ruz, u_choice).
+    Shared by _bounce_kernel and the mega kernel."""
+    br = ox.shape[1]
+    hit = (t_best < BIG * 0.5) & act
+    th = jnp.where(hit, t_best, 1.0)
+
+    wcx, wcy, wcz = w[_A_CX:_A_CX + 1], w[_A_CY:_A_CY + 1], w[_A_CZ:_A_CZ + 1]
+    wrr = w[_A_RR:_A_RR + 1]
+    war, wag, wab = w[_A_AR:_A_AR + 1], w[_A_AG:_A_AG + 1], w[_A_AB:_A_AB + 1]
+    wfz, wio = w[_A_FZ:_A_FZ + 1], w[_A_IO:_A_IO + 1]
+    idx_row = w[_A_IDX:_A_IDX + 1].astype(jnp.int32)
+
+    px = ox + th * dx
+    py = oy + th * dy
+    pz = oz + th * dz
+    saferr = jnp.where(wrr > 0.0, wrr, 1.0)
+    nx = (px - wcx) / saferr
+    ny = (py - wcy) / saferr
+    nz = (pz - wcz) / saferr
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    front = d_dot_n < 0.0
+    fs = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nx * fs, ny * fs, nz * fs
+
+    # gaussians via Box-Muller -> random unit vector
+    u1 = _u01((1, br))
+    u2 = _u01((1, br))
+    u3 = _u01((1, br))
+    u4 = _u01((1, br))
+    u_choice = _u01((1, br))
+    rad1 = jnp.sqrt(-2.0 * jnp.log(u1))
+    g1 = rad1 * jnp.cos(6.2831853 * u2)
+    g2 = rad1 * jnp.sin(6.2831853 * u2)
+    g3 = jnp.sqrt(-2.0 * jnp.log(u3)) * jnp.cos(6.2831853 * u4)
+    gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3 + 1e-20)
+    rux, ruy, ruz = g1 * gn, g2 * gn, g3 * gn
+
+    # Lambertian (material.rs:46-56)
+    lx, ly, lz = nx + rux, ny + ruy, nz + ruz
+    near0 = (
+        (jnp.abs(lx) < NEAR_ZERO_EPS)
+        & (jnp.abs(ly) < NEAR_ZERO_EPS)
+        & (jnp.abs(lz) < NEAR_ZERO_EPS)
+    )
+    lx = jnp.where(near0, nx, lx)
+    ly = jnp.where(near0, ny, ly)
+    lz = jnp.where(near0, nz, lz)
+
+    # Metal (material.rs:73-80)
+    rx = dx - 2.0 * d_dot_n * fs * nx  # reflect about oriented normal
+    ry = dy - 2.0 * d_dot_n * fs * ny
+    rz = dz - 2.0 * d_dot_n * fs * nz
+    rinv = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz + 1e-20)
+    mx = rx * rinv + wfz * rux
+    my = ry * rinv + wfz * ruy
+    mz = rz * rinv + wfz * ruz
+    metal_ok = (mx * nx + my * ny + mz * nz) > 0.0
+
+    # Dielectric (material.rs:103-122)
+    ior = jnp.where(wio > 0.0, wio, 1.0)
+    ri = jnp.where(front, 1.0 / ior, ior)
+    dinv = jax.lax.rsqrt(a)
+    ux, uy, uz = dx * dinv, dy * dinv, dz * dinv
+    cos_t = jnp.minimum(-(ux * nx + uy * ny + uz * nz), 1.0)
+    sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+    cannot = ri * ri * sin2 > 1.0
+    r0 = (1.0 - ri) / (1.0 + ri)
+    r0 = r0 * r0
+    one_m_cos = 1.0 - cos_t
+    schlick = r0 + (1.0 - r0) * one_m_cos * one_m_cos * one_m_cos * one_m_cos * one_m_cos
+    choose_refl = cannot | (schlick > u_choice)
+    # refract
+    perp_x = ri * (ux + cos_t * nx)
+    perp_y = ri * (uy + cos_t * ny)
+    perp_z = ri * (uz + cos_t * nz)
+    k = jnp.abs(1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z))
+    para = -jnp.sqrt(k)
+    fx = perp_x + para * nx
+    fy = perp_y + para * ny
+    fz2 = perp_z + para * nz
+    # reflect of unit dir
+    u_dot_n = ux * nx + uy * ny + uz * nz
+    gx = ux - 2.0 * u_dot_n * nx
+    gy = uy - 2.0 * u_dot_n * ny
+    gz = uz - 2.0 * u_dot_n * nz
+    dielx = jnp.where(choose_refl, gx, fx)
+    diely = jnp.where(choose_refl, gy, fy)
+    dielz = jnp.where(choose_refl, gz, fz2)
+
+    mt = w[_A_MT:_A_MT + 1]  # material code as f32 (exact small ints)
+    is_lam = mt == LAMBERTIAN
+    is_met = mt == METAL
+    is_die = mt == DIELECTRIC
+    is_tra = mt == TRANSPARENT
+    is_abs = mt == ABSORB
+
+    ndx = jnp.where(is_lam, lx, jnp.where(is_met, mx, jnp.where(is_die, dielx, dx)))
+    ndy = jnp.where(is_lam, ly, jnp.where(is_met, my, jnp.where(is_die, diely, dy)))
+    ndz = jnp.where(is_lam, lz, jnp.where(is_met, mz, jnp.where(is_die, dielz, dz)))
+    white = jnp.ones_like(war)
+    attr = jnp.where(is_die | is_tra, white, war)
+    attg = jnp.where(is_die | is_tra, white, wag)
+    attb = jnp.where(is_die | is_tra, white, wab)
+    # pure i1 logic: where() with bool literal vectors trips Mosaic's
+    # integer-truncation lowering
+    scattered = (~is_abs) & (metal_ok | ~is_met)
+
+    # transparent keeps the original origin (material.rs:28)
+    nox = jnp.where(is_tra, ox, px)
+    noy = jnp.where(is_tra, oy, py)
+    noz = jnp.where(is_tra, oz, pz)
+
+    # sky for misses (camera.rs:141-143)
+    uy_n = dy * dinv
+    sky_a = 0.5 * (uy_n + 1.0)
+    sky_r = (1.0 - sky_a) + sky_a * SKY_TOP[0]
+    sky_g = (1.0 - sky_a) + sky_a * SKY_TOP[1]
+    sky_b = (1.0 - sky_a) + sky_a * SKY_TOP[2]
+
+    keep = act & hit & scattered
+    miss = act & ~hit
+    # absorbed -> black (zeros)
+    co_r = jnp.where(miss, sky_r, 0.0)
+    co_g = jnp.where(miss, sky_g, 0.0)
+    co_b = jnp.where(miss, sky_b, 0.0)
+    no_x = jnp.where(keep, nox, ox)
+    no_y = jnp.where(keep, noy, oy)
+    no_z = jnp.where(keep, noz, oz)
+    nd_x = jnp.where(keep, ndx, dx)
+    nd_y = jnp.where(keep, ndy, dy)
+    nd_z = jnp.where(keep, ndz, dz)
+    at_r = jnp.where(keep, attr, 1.0)
+    at_g = jnp.where(keep, attg, 1.0)
+    at_b = jnp.where(keep, attb, 1.0)
+    fin = jnp.where(act & ~keep, 1, 0).astype(jnp.int32)
+    return (no_x, no_y, no_z, nd_x, nd_y, nd_z, at_r, at_g, at_b,
+            co_r, co_g, co_b, fin, idx_row, rux, ruy, ruz, u_choice)
+
+
 def _bounce_kernel(
     seed_ref,                                            # [1,1] SMEM int32
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,      # [1,BR]
@@ -123,199 +326,38 @@ def _bounce_kernel(
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
 
-    # ---- sweep this chunk ----
-    cx, cy, cz = cx_ref[:], cy_ref[:], cz_ref[:]
-    r2 = r2_ref[:]
-    ocx = cx - ox
-    ocy = cy - oy
-    ocz = cz - oz
-    h = dx * ocx + dy * ocy + dz * ocz
-    c_q = ocx * ocx + ocy * ocy + ocz * ocz - r2
-    disc = h * h - a * c_q
-    ok = disc >= 0.0
-    sqrtd = jnp.sqrt(jnp.where(ok, disc, 0.0))
-    rn = (h - sqrtd) * inv_a
-    rf = (h + sqrtd) * inv_a
-    t = jnp.where(
-        ok & (rn > T_MIN), rn, jnp.where(ok & (rf > T_MIN), rf, BIG)
+    # ---- sweep this chunk (shared helper; see _sweep_winner) ----
+    t_c, wa = _sweep_winner(
+        ox, oy, oz, dx, dy, dz, a, inv_a,
+        cx_ref[:], cy_ref[:], cz_ref[:], r2_ref[:], attr_ref[:],
     )
-    t_c = jnp.min(t, axis=0, keepdims=True)
-    # Exactly one-hot winner mask: gate to the argmin sublane so that when two
-    # DISTINCT spheres tie for the chunk minimum, every carried attribute (and
-    # i_out below) comes from the same sphere — the first-min row, matching
-    # jnp.argmin's tie rule.  (A plain t == t_c mask could mix fields.)
-    i_min = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]  # (1, BR)
-    row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-
-    # All ten winner attributes (and the global sphere index, row _A_IDX) in
-    # ONE MXU matmul: attrs[48, CHUNK] @ one_hot[CHUNK, BR], bf16 operands,
-    # f32 accumulation.  Exact: the one-hot is exact in bf16, each product
-    # is attr_plane * 1.0, and the hi/mid/lo planes (split host-side) sum
-    # back to the f32 attribute bit-for-bit.  When no sphere in the chunk
-    # hits, the one-hot is all-zero -> wa is zero, and `better` is false.
-    # The one-hot is built by f32 arithmetic (masks stay in 32-bit tiling)
-    # then cast: selecting bf16 literals under a (CHUNK, BR) i1 mask asks
-    # Mosaic for an i1 relayout (8,128)->(16,128) it cannot do ("Invalid
-    # relayout: non-singleton dim replicated in destination").
-    sel_f = (row == i_min).astype(jnp.float32) * (
-        t_c < BIG * 0.5
-    ).astype(jnp.float32)  # (CHUNK, BR) exact one-hot, first-min row only
-    selm = sel_f.astype(jnp.bfloat16)
-    wa3 = jax.lax.dot_general(
-        attr_ref[:],
-        selm,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [48, BR] = the three bf16 planes, selected
-    wa = (
-        wa3[0:_A_ROWS]
-        + wa3[_A_ROWS:2 * _A_ROWS]
-        + wa3[2 * _A_ROWS:3 * _A_ROWS]
-    )  # [16, BR]
 
     better = t_c < t_ref[:]
     w_ref[:] = jnp.where(better, wa, w_ref[:])
     t_ref[:] = jnp.where(better, t_c, t_ref[:])
 
-    # ---- after the last chunk: shade ----
+    # ---- after the last chunk: shade (shared helper; see _shade_vals) ----
     @pl.when(ci == n_chunks - 1)
     def _shade():
-        br = ox.shape[1]
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-        hit = (t_ref[:] < BIG * 0.5) & (act_ref[:] > 0)
-        th = jnp.where(hit, t_ref[:], 1.0)
-
-        w = w_ref[:]  # [16, BR] winner attributes, one load
-        wcx, wcy, wcz = w[_A_CX:_A_CX + 1], w[_A_CY:_A_CY + 1], w[_A_CZ:_A_CZ + 1]
-        wrr = w[_A_RR:_A_RR + 1]
-        war, wag, wab = w[_A_AR:_A_AR + 1], w[_A_AG:_A_AG + 1], w[_A_AB:_A_AB + 1]
-        wfz, wio = w[_A_FZ:_A_FZ + 1], w[_A_IO:_A_IO + 1]
-        i_out[:] = w[_A_IDX:_A_IDX + 1].astype(jnp.int32)
-
-        px = ox + th * dx
-        py = oy + th * dy
-        pz = oz + th * dz
-        saferr = jnp.where(wrr > 0.0, wrr, 1.0)
-        nx = (px - wcx) / saferr
-        ny = (py - wcy) / saferr
-        nz = (pz - wcz) / saferr
-        d_dot_n = dx * nx + dy * ny + dz * nz
-        front = d_dot_n < 0.0
-        fs = jnp.where(front, 1.0, -1.0)
-        nx, ny, nz = nx * fs, ny * fs, nz * fs
-
-        # gaussians via Box-Muller -> random unit vector
-        u1 = _u01((1, br))
-        u2 = _u01((1, br))
-        u3 = _u01((1, br))
-        u4 = _u01((1, br))
-        u_choice = _u01((1, br))
-        rad1 = jnp.sqrt(-2.0 * jnp.log(u1))
-        g1 = rad1 * jnp.cos(6.2831853 * u2)
-        g2 = rad1 * jnp.sin(6.2831853 * u2)
-        g3 = jnp.sqrt(-2.0 * jnp.log(u3)) * jnp.cos(6.2831853 * u4)
-        gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3 + 1e-20)
-        rux, ruy, ruz = g1 * gn, g2 * gn, g3 * gn
-
-        # Lambertian (material.rs:46-56)
-        lx, ly, lz = nx + rux, ny + ruy, nz + ruz
-        near0 = (
-            (jnp.abs(lx) < NEAR_ZERO_EPS)
-            & (jnp.abs(ly) < NEAR_ZERO_EPS)
-            & (jnp.abs(lz) < NEAR_ZERO_EPS)
+        (nox, noy, noz, ndx, ndy, ndz, atr, atg, atb,
+         cor, cog, cob, fin_row, idx_row, rux, ruy, ruz, u_choice) = _shade_vals(
+            ox, oy, oz, dx, dy, dz, a, act_ref[:] > 0, t_ref[:], w_ref[:]
         )
-        lx = jnp.where(near0, nx, lx)
-        ly = jnp.where(near0, ny, ly)
-        lz = jnp.where(near0, nz, lz)
-
-        # Metal (material.rs:73-80)
-        rx = dx - 2.0 * d_dot_n * fs * nx  # reflect about oriented normal
-        ry = dy - 2.0 * d_dot_n * fs * ny
-        rz = dz - 2.0 * d_dot_n * fs * nz
-        rinv = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz + 1e-20)
-        mx = rx * rinv + wfz * rux
-        my = ry * rinv + wfz * ruy
-        mz = rz * rinv + wfz * ruz
-        metal_ok = (mx * nx + my * ny + mz * nz) > 0.0
-
-        # Dielectric (material.rs:103-122)
-        ior = jnp.where(wio > 0.0, wio, 1.0)
-        ri = jnp.where(front, 1.0 / ior, ior)
-        dinv = jax.lax.rsqrt(a)
-        ux, uy, uz = dx * dinv, dy * dinv, dz * dinv
-        cos_t = jnp.minimum(-(ux * nx + uy * ny + uz * nz), 1.0)
-        sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
-        cannot = ri * ri * sin2 > 1.0
-        r0 = (1.0 - ri) / (1.0 + ri)
-        r0 = r0 * r0
-        one_m_cos = 1.0 - cos_t
-        schlick = r0 + (1.0 - r0) * one_m_cos * one_m_cos * one_m_cos * one_m_cos * one_m_cos
-        choose_refl = cannot | (schlick > u_choice)
-        # refract
-        perp_x = ri * (ux + cos_t * nx)
-        perp_y = ri * (uy + cos_t * ny)
-        perp_z = ri * (uz + cos_t * nz)
-        k = jnp.abs(1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z))
-        para = -jnp.sqrt(k)
-        fx = perp_x + para * nx
-        fy = perp_y + para * ny
-        fz2 = perp_z + para * nz
-        # reflect of unit dir
-        u_dot_n = ux * nx + uy * ny + uz * nz
-        gx = ux - 2.0 * u_dot_n * nx
-        gy = uy - 2.0 * u_dot_n * ny
-        gz = uz - 2.0 * u_dot_n * nz
-        dielx = jnp.where(choose_refl, gx, fx)
-        diely = jnp.where(choose_refl, gy, fy)
-        dielz = jnp.where(choose_refl, gz, fz2)
-
-        mt = w[_A_MT:_A_MT + 1]  # material code as f32 (exact small ints)
-        is_lam = mt == LAMBERTIAN
-        is_met = mt == METAL
-        is_die = mt == DIELECTRIC
-        is_tra = mt == TRANSPARENT
-        is_abs = mt == ABSORB
-
-        ndx = jnp.where(is_lam, lx, jnp.where(is_met, mx, jnp.where(is_die, dielx, dx)))
-        ndy = jnp.where(is_lam, ly, jnp.where(is_met, my, jnp.where(is_die, diely, dy)))
-        ndz = jnp.where(is_lam, lz, jnp.where(is_met, mz, jnp.where(is_die, dielz, dz)))
-        white = jnp.ones_like(war)
-        attr = jnp.where(is_die | is_tra, white, war)
-        attg = jnp.where(is_die | is_tra, white, wag)
-        attb = jnp.where(is_die | is_tra, white, wab)
-        # pure i1 logic: where() with bool literal vectors trips Mosaic's
-        # integer-truncation lowering
-        scattered = (~is_abs) & (metal_ok | ~is_met)
-
-        # transparent keeps the original origin (material.rs:28)
-        nox = jnp.where(is_tra, ox, px)
-        noy = jnp.where(is_tra, oy, py)
-        noz = jnp.where(is_tra, oz, pz)
-
-        # sky for misses (camera.rs:141-143)
-        uy_n = dy * dinv
-        sky_a = 0.5 * (uy_n + 1.0)
-        sky_r = (1.0 - sky_a) + sky_a * SKY_TOP[0]
-        sky_g = (1.0 - sky_a) + sky_a * SKY_TOP[1]
-        sky_b = (1.0 - sky_a) + sky_a * SKY_TOP[2]
-
-        act = act_ref[:] > 0
-        keep = act & hit & scattered
-        miss = act & ~hit
-        # absorbed -> black (zeros)
-        co_r[:] = jnp.where(miss, sky_r, 0.0)
-        co_g[:] = jnp.where(miss, sky_g, 0.0)
-        co_b[:] = jnp.where(miss, sky_b, 0.0)
-        no_x[:] = jnp.where(keep, nox, ox)
-        no_y[:] = jnp.where(keep, noy, oy)
-        no_z[:] = jnp.where(keep, noz, oz)
-        nd_x[:] = jnp.where(keep, ndx, dx)
-        nd_y[:] = jnp.where(keep, ndy, dy)
-        nd_z[:] = jnp.where(keep, ndz, dz)
-        at_r[:] = jnp.where(keep, attr, 1.0)
-        at_g[:] = jnp.where(keep, attg, 1.0)
-        at_b[:] = jnp.where(keep, attb, 1.0)
-        fin[:] = jnp.where(act & ~keep, 1, 0).astype(jnp.int32)
+        i_out[:] = idx_row
+        co_r[:] = cor
+        co_g[:] = cog
+        co_b[:] = cob
+        no_x[:] = nox
+        no_y[:] = noy
+        no_z[:] = noz
+        nd_x[:] = ndx
+        nd_y[:] = ndy
+        nd_z[:] = ndz
+        at_r[:] = atr
+        at_g[:] = atg
+        at_b[:] = atb
+        fin[:] = fin_row
         ru_x[:] = rux
         ru_y[:] = ruy
         ru_z[:] = ruz

@@ -1,0 +1,417 @@
+"""Pool-iteration MEGA-KERNEL: refill + fused bounce + tape record in ONE
+Pallas program (the round-3 project scoped in docs/DESIGN.md §9).
+
+The round-2 tape forward (grad/tapegrad.py::_forward_tape) spends ~10 ms
+of its 21 ms outside the bounce kernel: lax.while_loop self time
+(~21 us/iteration), refill machinery (cumsum rank + window slice +
+merges), keep/atten glue, and the tape pack (2 dynamic-update-slices +
+a 1-D position scatter per row).  This kernel eliminates ALL of those
+classes: the grid dimension IS the tape-row loop, pool state lives in
+VMEM scratch across grid steps, tape rows are ordinary blocked outputs,
+and the per-ray finish position comes out as a DENSE array.
+
+Two structural departures from the host-level wavefront make it possible:
+
+1. PRIVATE PER-LANE RAY QUEUES.  The host refill assigns consecutive
+   stream rays to scattered free lanes — needing a cumsum rank and a
+   rank-indexed gather, both hostile inside Mosaic.  Here lane L owns
+   rays L, L+B, L+2B, ...: its next ray is row c_L of the [C, B] ray
+   table (C = ceil(R/B)) resident in VMEM, fetched with an iota-compare
+   sublane select — no cumsum, no gather, no dynamic DMA.  The ray->lane
+   assignment changes (a valid estimator of the same integral — the same
+   class of difference as choosing another pool size); the TAPE FORMAT
+   IS UNCHANGED (take/lane_ray record whatever assignment happened), so
+   the reverse-tape backward and the replay oracle run unmodified.
+
+2. DENSE POSITION OUTPUT.  A ray's id is c*B + lane, so its finish
+   position has a HOME at [c, lane] of a [C, B] output updated with a
+   masked dense write per row (the per-row 1-D scatter — ~5 ns/row, ~3 ms
+   per render at production scale — disappears; pos[ray] is just
+   reshape(pos_cb)[ray]).
+
+Worst-case rows: each lane serially runs its <= C rays at <= max_depth
+bounces -> T <= C * max_depth (tighter than the shared queue's bound).
+Rows after all work completes are skipped via an SMEM done flag (each
+skipped row costs only the grid-step block copies).  n_it is rounded up
+to a multiple of `pad_rows` by letting the loop run dead rows (all lanes
+idle — the backward treats live=0 rows as pass-through), so the
+backward's unrolled replay divides n_it exactly.
+
+Semantics: bounce = camera.rs:118-144 (ray_color_iteration), identical to
+ops/pallas/bounce_kernel.py whose _sweep_winner/_shade_vals bodies are
+shared.  RNG: on-core PRNG seeded per (row, sub-block).  Forward-only;
+gradients = grad/tapegrad.py's reverse tape walk over this kernel's
+outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from distributed_raytracer_tpu.core.vecmath import BIG
+from distributed_raytracer_tpu.models.scene import ABSORB, Scene
+from distributed_raytracer_tpu.ops.pallas.bounce_kernel import (
+    _A_ROWS,
+    _auto_chunk,
+    _shade_vals,
+    _sweep_winner,
+    LANE,
+)
+
+
+class MegaOut(NamedTuple):
+    """Raw kernel outputs (planar tape rows + dense pos + meta)."""
+
+    fplanes: tuple      # 16 x [T, 1, B] f32: o3 d3 atten3 ruv3 u contrib3
+    iplanes: tuple      # 3 x [T, 1, B] i32: idx, lane_ray, flags
+    pos_cb: jnp.ndarray  # [C, B] i32 flat tape finish position, -1 = none
+    n_it: jnp.ndarray    # scalar i32 rows recorded
+    clean: jnp.ndarray   # scalar i32: 1 = all rays accounted (no truncation)
+
+
+def _mega_kernel(
+    seed_ref,                                   # (1,1) SMEM
+    tox, toy, toz, tdx, tdy, tdz,               # [C, B] VMEM ray table
+    cx_ref, cy_ref, cz_ref, r2_ref,             # [m, 1] VMEM sweep columns
+    attr_ref,                                   # [48, m] VMEM bf16 planes
+    # --- outputs ---
+    o_x, o_y, o_z, d_x, d_y, d_z,               # [1,1,B] blocks (tape rows)
+    a_r, a_g, a_b, r_x, r_y, r_z, u_o,
+    c_r, c_g, c_b,
+    idx_o, lray_o, flg_o,                       # [1,1,B] i32
+    pos_o,                                      # [C, B] i32 (constant block)
+    meta_o,                                     # (1,2) SMEM i32: n_it, clean
+    # --- scratch (pool state persisting across grid steps) ---
+    sox, soy, soz, sdx, sdy, sdz,               # (1,B) f32
+    sar, sag, sab,                              # (1,B) f32
+    scur, snext, sdepth, slive, sfin,           # (1,B) i32
+    rbx, rby, rbz, rcx, rcy, rcz,               # (1,BR) f32 rebase buffers
+    done_s,                                     # (1,1) SMEM i32
+    *, r: int, b: int, br: int, c_rows: int, max_depth: int,
+    pad_rows: int,
+):
+    it = pl.program_id(0)
+    i32 = jnp.int32
+
+    @pl.when(it == 0)
+    def _init():
+        z = jnp.zeros((1, b), jnp.float32)
+        one = jnp.ones((1, b), jnp.float32)
+        zi = jnp.zeros((1, b), i32)
+        sox[:], soy[:], soz[:] = z, z, z
+        sdx[:], sdy[:], sdz[:] = one, one, one  # nonzero dir pre-refill
+        sar[:], sag[:], sab[:] = one, one, one
+        scur[:], snext[:], sdepth[:], slive[:], sfin[:] = zi, zi, zi, zi, zi
+        done_s[0, 0] = 0
+        meta_o[0, 0] = 0
+        meta_o[0, 1] = 0
+        pos_o[:] = jnp.full_like(pos_o, -1)
+
+    @pl.when(done_s[0, 0] == 0)
+    def _row():
+        lane = jax.lax.broadcasted_iota(i32, (1, b), 1)
+        live0 = slive[:] > 0
+        cnext = snext[:]
+        has_next = cnext * b + lane < r
+        take = (~live0) & has_next
+        n_take = jnp.sum(take.astype(i32))
+
+        # --- refill: private-queue fetch, skipped entirely when no lane
+        # takes (drain tail / post-exhaust rows) ---
+        @pl.when(n_take > 0)
+        def _refill():
+            rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
+            sel = (rows_i == cnext).astype(jnp.float32)  # (C, B) one-hot
+            tk = take
+
+            def fetch(tab):
+                return jnp.sum(sel * tab[:], axis=0, keepdims=True)
+
+            sox[:] = jnp.where(tk, fetch(tox), sox[:])
+            soy[:] = jnp.where(tk, fetch(toy), soy[:])
+            soz[:] = jnp.where(tk, fetch(toz), soz[:])
+            sdx[:] = jnp.where(tk, fetch(tdx), sdx[:])
+            sdy[:] = jnp.where(tk, fetch(tdy), sdy[:])
+            sdz[:] = jnp.where(tk, fetch(tdz), sdz[:])
+            sar[:] = jnp.where(tk, 1.0, sar[:])
+            sag[:] = jnp.where(tk, 1.0, sag[:])
+            sab[:] = jnp.where(tk, 1.0, sab[:])
+            scur[:] = jnp.where(tk, cnext, scur[:])
+            sdepth[:] = jnp.where(tk, 0, sdepth[:])
+            slive[:] = (live0 | tk).astype(i32)
+            snext[:] = cnext + tk.astype(i32)
+
+        # --- post-refill state (source of truth: scratch) ---
+        ox, oy, oz = sox[:], soy[:], soz[:]
+        dx, dy, dz = sdx[:], sdy[:], sdz[:]
+        ar, ag, ab = sar[:], sag[:], sab[:]
+        live = slive[:] > 0
+        c_cur = scur[:]
+        lane_ray = c_cur * b + lane
+
+        # --- tape row: PRE-bounce state (matches _forward_tape's record) ---
+        o_x[0] = ox
+        o_y[0] = oy
+        o_z[0] = oz
+        d_x[0] = dx
+        d_y[0] = dy
+        d_z[0] = dz
+        a_r[0] = ar
+        a_g[0] = ag
+        a_b[0] = ab
+        lray_o[0] = lane_ray
+
+        # --- one fused bounce, sub-block by sub-block ---
+        for sb in range(b // br):
+            sl = slice(sb * br, (sb + 1) * br)
+            # REBASE the sub-block's ray rows to lane offset 0 through
+            # (1, BR) scratch: a lane-sliced row keeps its source offset in
+            # its Mosaic layout, and vector.broadcast (1,BR)->(m,BR) — the
+            # sweep's column expansion — rejects non-zero offsets
+            # ("Invalid input layout", found on hardware)
+            rbx[:] = ox[:, sl]
+            rby[:] = oy[:, sl]
+            rbz[:] = oz[:, sl]
+            rcx[:] = dx[:, sl]
+            rcy[:] = dy[:, sl]
+            rcz[:] = dz[:, sl]
+            oxs, oys, ozs = rbx[:], rby[:], rbz[:]
+            dxs, dys, dzs = rcx[:], rcy[:], rcz[:]
+            a_s = dxs * dxs + dys * dys + dzs * dzs
+            inv_s = 1.0 / a_s
+            act = live[:, sl]
+
+            t_c, wa = _sweep_winner(
+                oxs, oys, ozs, dxs, dys, dzs, a_s, inv_s,
+                cx_ref[:], cy_ref[:], cz_ref[:], r2_ref[:], attr_ref[:],
+            )
+            pltpu.prng_seed(seed_ref[0, 0] + it * jnp.int32(65537) + sb)
+            (nox, noy, noz, ndx, ndy, ndz, atr, atg, atb,
+             cor, cog, cob, fin_row, idx_row,
+             rux, ruy, ruz, u_ch) = _shade_vals(
+                oxs, oys, ozs, dxs, dys, dzs, a_s, act, t_c, wa
+            )
+            hit_row = ((t_c < BIG * 0.5) & act).astype(i32)
+
+            # draws + results onto the tape (contrib = atten * color)
+            r_x[0, :, sl] = rux
+            r_y[0, :, sl] = ruy
+            r_z[0, :, sl] = ruz
+            u_o[0, :, sl] = u_ch
+            idx_o[0, :, sl] = idx_row
+            c_r[0, :, sl] = ar[:, sl] * cor
+            c_g[0, :, sl] = ag[:, sl] * cog
+            c_b[0, :, sl] = ab[:, sl] * cob
+            fin_b = (fin_row > 0) & act
+            flg_o[0, :, sl] = (
+                hit_row
+                | (act.astype(i32) << 1)
+                | (take[:, sl].astype(i32) << 2)
+                | (fin_b.astype(i32) << 3)
+            )
+
+            # state update (shade outputs are already keep-merged; atten is
+            # exactly 1.0 on non-kept lanes)
+            keep = act & ~fin_b
+            depth2 = sdepth[:, sl] + act.astype(i32)
+            exhausted = keep & (depth2 >= max_depth)
+            sox[0, sl] = nox[0]
+            soy[0, sl] = noy[0]
+            soz[0, sl] = noz[0]
+            sdx[0, sl] = ndx[0]
+            sdy[0, sl] = ndy[0]
+            sdz[0, sl] = ndz[0]
+            sar[0, sl] = (ar[:, sl] * atr)[0]
+            sag[0, sl] = (ag[:, sl] * atg)[0]
+            sab[0, sl] = (ab[:, sl] * atb)[0]
+            sdepth[0, sl] = depth2[0]
+            slive[0, sl] = (keep & ~exhausted).astype(i32)[0]
+            sfin[0, sl] = fin_b.astype(i32)[0]
+
+        # --- dense finish-position update: ray (c, lane) finished at flat
+        # tape position it*B + lane ---
+        fin_full = sfin[:] > 0
+        rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
+        sel_fin = (rows_i == c_cur) & fin_full
+        pos_o[:] = jnp.where(sel_fin, it * b + lane, pos_o[:])
+
+        # --- termination (+ parity pad so n_it % pad_rows == 0: the extra
+        # rows run with every lane idle and record as pass-through) ---
+        live2 = slive[:] > 0
+        rem = jnp.sum((snext[:] * b + lane < r).astype(i32))
+        natural_done = (rem == 0) & (jnp.sum(live2.astype(i32)) == 0)
+        meta_o[0, 0] = it + 1
+        meta_o[0, 1] = natural_done.astype(i32)
+        done_s[0, 0] = (
+            natural_done & (((it + 1) % pad_rows) == 0)
+        ).astype(i32)
+
+
+def scene_sweep_arrays(scene: Scene, m: int):
+    """Sweep columns [m,1] x4 + attr planes [48, m] bf16 for a SINGLE
+    chunk of m (lane-padded) spheres — the same construction as
+    fused_bounce_rows' (bounce_kernel.py), without the per-chunk blocking.
+    reduce_precision (not astype round-trips) keeps the hi/mid/lo split
+    exact under --xla_allow_excess_precision=true."""
+    n0 = scene.num_spheres
+    pad_s = m - n0
+    if pad_s < 0:
+        raise ValueError(f"scene {n0} spheres > mega chunk {m}")
+
+    def spad(x, fill=0.0):
+        return jnp.pad(x, (0, pad_s), constant_values=fill)
+
+    def scol(x, fill=0.0):
+        return spad(x, fill).reshape(m, 1)
+
+    r2 = jnp.where(scene.radii > 0.0, scene.radii * scene.radii, -1.0)
+    scene_cols = [
+        scol(scene.centers[:, 0]),
+        scol(scene.centers[:, 1]),
+        scol(scene.centers[:, 2]),
+        scol(r2, fill=-1.0),
+    ]
+    zero_m = jnp.zeros((m,), jnp.float32)
+    attr_rows = jnp.stack(
+        [
+            spad(scene.centers[:, 0]),
+            spad(scene.centers[:, 1]),
+            spad(scene.centers[:, 2]),
+            spad(scene.radii, fill=1.0),
+            spad(scene.albedo[:, 0]),
+            spad(scene.albedo[:, 1]),
+            spad(scene.albedo[:, 2]),
+            spad(scene.fuzz),
+            spad(scene.ior, fill=1.0),
+            spad(scene.mat_type.astype(jnp.float32), fill=float(ABSORB)),
+            jnp.arange(m, dtype=jnp.float32),
+        ]
+        + [zero_m] * (_A_ROWS - 11),
+        axis=0,
+    )
+    hi_f = jax.lax.reduce_precision(attr_rows, 8, 7)
+    r1 = attr_rows - hi_f
+    mid_f = jax.lax.reduce_precision(r1, 8, 7)
+    lo_f = r1 - mid_f
+    attrs = jnp.concatenate(
+        [hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+         lo_f.astype(jnp.bfloat16)], axis=0
+    )  # [48, m]
+    return scene_cols, attrs
+
+
+def mega_budget(r: int, max_depth: int, pool: int, pad_rows: int = 2) -> int:
+    """Worst-case tape rows for the private-queue pool: each lane serially
+    runs its ceil(R/B) rays at <= max_depth bounces."""
+    c_rows = -(-r // pool)
+    t = c_rows * max_depth + 1
+    return -(-t // pad_rows) * pad_rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_depth", "pool", "budget", "block_rays",
+                              "pad_rows")
+)
+def mega_forward(
+    scene: Scene,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    seed: jnp.ndarray,
+    max_depth: int,
+    pool: int = 2048,
+    budget: int = 0,
+    block_rays: int = 512,
+    pad_rows: int = 2,
+) -> MegaOut:
+    """Run the whole recording wavefront as one pallas_call.
+
+    budget=0 -> the proven worst case (mega_budget).  The ray table
+    (ceil(R/B) x B x 6 f32) must fit VMEM alongside the scene — at the
+    production config (262,144 rays, pool 2048) it is 6 MB."""
+    r = ray_o.shape[0]
+    b = pool
+    if b % LANE:
+        raise ValueError(f"pool must be a multiple of {LANE}")
+    br = min(block_rays, b)
+    if b % br:
+        raise ValueError(f"pool {b} not a multiple of block_rays {br}")
+    c_rows = -(-r // b)
+    t_budget = budget or mega_budget(r, max_depth, b, pad_rows)
+    if t_budget % pad_rows:
+        raise ValueError(f"budget {t_budget} % pad_rows {pad_rows} != 0")
+
+    m = _auto_chunk(scene.num_spheres)
+    if m < -(-scene.num_spheres // LANE) * LANE:
+        raise ValueError(
+            f"mega kernel sweeps one chunk: scene {scene.num_spheres} "
+            f"exceeds chunk {m}")
+    scene_cols, attrs = scene_sweep_arrays(scene, m)
+
+    # ray table [C, B]: ray id c*B + lane at [c, lane]; padding rays have
+    # d=(1,1,1) (never taken: has_next masks ids >= R)
+    pad_n = c_rows * b - r
+
+    def tab(x, fill):
+        return jnp.pad(x, (0, pad_n), constant_values=fill).reshape(c_rows, b)
+
+    tables = [
+        tab(ray_o[:, 0], 0.0), tab(ray_o[:, 1], 0.0), tab(ray_o[:, 2], 0.0),
+        tab(ray_d[:, 0], 1.0), tab(ray_d[:, 1], 1.0), tab(ray_d[:, 2], 1.0),
+    ]
+
+    f32, i32 = jnp.float32, jnp.int32
+    row_spec = pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    out_specs = (
+        [row_spec] * 19
+        + [whole((c_rows, b))]
+        + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((t_budget, 1, b), f32)] * 16
+        + [jax.ShapeDtypeStruct((t_budget, 1, b), i32)] * 3
+        + [jax.ShapeDtypeStruct((c_rows, b), i32)]
+        + [jax.ShapeDtypeStruct((1, 2), i32)]
+    )
+    # output order: o3 d3 atten3 (f32) ... then the i32 rows; the kernel
+    # signature orders f32 rows first, matching out_specs/out_shape above
+    outs = pl.pallas_call(
+        functools.partial(
+            _mega_kernel, r=r, b=b, br=br, c_rows=c_rows,
+            max_depth=max_depth, pad_rows=pad_rows,
+        ),
+        grid=(t_budget,),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [whole((c_rows, b))] * 6
+        + [whole((m, 1))] * 4
+        + [whole((3 * _A_ROWS, m))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((1, b), f32)] * 9
+            + [pltpu.VMEM((1, b), i32)] * 5
+            + [pltpu.VMEM((1, br), f32)] * 6
+            + [pltpu.SMEM((1, 1), i32)]
+        ),
+    )(
+        jnp.asarray(seed, i32).reshape(1, 1), *tables, *scene_cols, attrs
+    )
+    (ox, oy, oz, dx, dy, dz, ar, ag, ab, rx, ry, rz, uo,
+     cr, cg, cb, idx, lray, flg, pos_cb, meta) = outs
+    return MegaOut(
+        fplanes=(ox, oy, oz, dx, dy, dz, ar, ag, ab, rx, ry, rz, uo,
+                 cr, cg, cb),
+        iplanes=(idx, lray, flg),
+        pos_cb=pos_cb,
+        n_it=meta[0, 0],
+        clean=meta[0, 1],
+    )

@@ -250,6 +250,7 @@ def render_wavefront_sum_fused(
     pos_drain: Optional[bool] = None,
     sphere_chunk: int = 0,
     refill_every: int = 2,
+    pixel_ids=None,
 ) -> jnp.ndarray:
     """Wavefront render with the FULLY FUSED bounce kernel
     (ops/pallas/bounce_kernel.py): one pallas_call per pool iteration does
@@ -263,13 +264,18 @@ def render_wavefront_sum_fused(
     the RTiOW workload, a measured net win on the tape path).  The noise
     stream shifts with k (same estimator class as changing pool size).
 
+    pixel_ids: optional [K] i32 — render only these pixels (sums returned
+    in the SAME order, [K, 3]).  The shuffled progressive fill renders
+    perm chunks through this (CameraRayIterator parity on the production
+    engine, camera.rs:68-116).
+
     Noise comes from the kernel's on-core PRNG (not threefry), so images
     differ from render_wavefront_sum at the noise level while estimating
     the same integral.  TPU only (compiled Mosaic; use interpret mode on
     CPU for tests)."""
     from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
 
-    n_pix = camera.num_pixels
+    n_pix = pixel_ids.shape[0] if pixel_ids is not None else camera.num_pixels
     w = camera.image_width
     total = n_pix * spp
     b = min(pool_size, total)
@@ -299,6 +305,8 @@ def render_wavefront_sum_fused(
         take = free & (rank < remaining)
         ray_idx = emitted + jnp.where(take, rank, 0)
         pix = ray_idx % n_pix
+        if pixel_ids is not None:
+            pix = pixel_ids[pix]
         new_o, new_d = generate_rays(camera, k, pix % w, pix // w)
         tk = take[:, None]
         o = jnp.where(tk, new_o, o)

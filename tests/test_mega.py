@@ -1,0 +1,170 @@
+"""Pool-iteration mega-kernel (ops/pallas/mega_kernel.py) + its tapegrad
+integration.
+
+Runs under the Pallas TPU interpreter on CPU.  The on-core PRNG returns
+zeros in interpret mode, which makes every scatter DETERMINISTIC — so the
+mega forward must agree ray-for-ray with the fused-kernel tape forward
+(different lane assignment, same draws), and the tape must replay and
+differentiate exactly.  RNG-dependent statistics are hardware-tier tests
+(test_tpu_hw.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from distributed_raytracer_tpu.grad.tapegrad import (
+    _backward_tape,
+    _forward_tape,
+    _forward_tape_mega,
+    make_tape_tracer,
+    replay_from_tape,
+)
+from distributed_raytracer_tpu.models.scene import SceneBuilder
+from distributed_raytracer_tpu.ops.camera import generate_rays, make_camera
+from distributed_raytracer_tpu.ops.pallas.mega_kernel import mega_budget
+
+
+def setup(width=24, depth=8, seed=7):
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .add_metal((1.1, 0, -1.5), 0.4, (0.8, 0.8, 0.8), 0.15)
+        .add_dielectric((-1.1, 0, -1.5), 0.4, 1.5)
+        .add_transparent((0.3, 0.4, -1.2), 0.15)
+        .build()
+    )
+    cam = make_camera(aspect_ratio=1.0, image_width=width, max_depth=depth)
+    ids = jnp.arange(cam.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, jax.random.PRNGKey(seed), ids % width,
+                         ids // width)
+    return scene, o, d
+
+
+@pytest.mark.parametrize("pool,r_cut", [(128, None), (128, 300), (256, 500)])
+def test_mega_accounting_and_replay(pool, r_cut):
+    """Every ray is accounted for exactly once; the recorded tape replays
+    to the kernel's own colors; n_it is even (backward-unroll contract)."""
+    scene, o, d = setup()
+    if r_cut:
+        o, d = o[:r_cut], d[:r_cut]
+    r = o.shape[0]
+    depth = 8
+    key = jax.random.PRNGKey(3)
+
+    with pltpu.force_tpu_interpret_mode():
+        color, tape, n_it, pos = _forward_tape_mega(
+            scene, o, d, key, depth, pool
+        )
+        color, tape, n_it, pos = jax.tree.map(np.asarray,
+                                              (color, tape, n_it, pos))
+    n_iters = int(n_it)
+    assert n_iters % 2 == 0
+    assert 0 < n_iters <= mega_budget(r, depth, min(pool, r))
+    assert np.isfinite(color).all()
+
+    # accounting: pos >= 0 iff the ray finished (depth-exhausted rays are
+    # the only pos == -1 case and contribute black)
+    fin_rays = pos >= 0
+    assert np.all(color[~fin_rays] == 0.0)
+    # every finished position is a distinct tape slot with the fin flag
+    b = tape.fdata.shape[1]
+    its, lanes = pos[fin_rays] // b, pos[fin_rays] % b
+    assert len(set(map(tuple, np.stack([its, lanes], -1)))) == fin_rays.sum()
+    flags = tape.idata[its, lanes, 2]
+    assert np.all((flags & 8) != 0), "pos points at non-finishing rows"
+    # the finishing lane's recorded ray id is the ray
+    assert np.array_equal(tape.idata[its, lanes, 1], np.nonzero(fin_rays)[0])
+
+    # tape replay reproduces the kernel's colors (recorded draws)
+    re_color = np.asarray(replay_from_tape(scene, o, d,
+                                           jax.tree.map(jnp.asarray, tape),
+                                           n_iters))
+    np.testing.assert_allclose(color, re_color, rtol=1e-5, atol=1e-6)
+
+
+def test_mega_matches_fused_tape_forward():
+    """Interpret-mode draws are zeros for BOTH kernels, so per-ray colors
+    must agree exactly with the round-2 fused-kernel tape forward even
+    though the lane assignment differs."""
+    scene, o, d = setup(width=16, depth=6)
+    key = jax.random.PRNGKey(5)
+
+    with pltpu.force_tpu_interpret_mode():
+        c_mega, _, _, _ = _forward_tape_mega(scene, o, d, key, 6, 128)
+        c_fused, _, _, _ = _forward_tape(
+            scene, o, d, key, 6, 128, use_fused=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(c_mega), np.asarray(c_fused), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("segsum", ["scatter", "matmul"])
+def test_mega_backward_matches_replay_autodiff(segsum):
+    scene, o, d = setup(width=16, depth=6)
+    key = jax.random.PRNGKey(11)
+
+    with pltpu.force_tpu_interpret_mode():
+        color, tape, n_it, pos = _forward_tape_mega(scene, o, d, key, 6, 128)
+    n_iters = int(n_it)
+    g_color = jax.random.normal(jax.random.PRNGKey(2), color.shape)
+
+    def oracle_loss(s, oo, dd):
+        return jnp.sum(replay_from_tape(s, oo, dd, tape, n_iters) * g_color)
+
+    go_scene, go_o, go_d = jax.grad(
+        oracle_loss, argnums=(0, 1, 2), allow_int=True
+    )(scene, o, d)
+    # unroll=2 mirrors the production wiring (mega pads n_it to even)
+    d_scene, g_o, g_d = jax.jit(
+        lambda s, g: _backward_tape(s, tape, n_it, pos, g, segsum,
+                                    unroll=2)
+    )(scene, g_color)
+
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(d_scene, name))
+        b = np.asarray(getattr(go_scene, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=name)
+    for a, b, name in ((g_o, go_o, "ray_o"), (g_d, go_d, "ray_d")):
+        scale = np.abs(np.asarray(b)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_mega_tracer_end_to_end():
+    """make_tape_tracer(use_mega=True): value + grad runs and the value
+    matches the raw forward."""
+    scene, o, d = setup(width=12, depth=6)
+    key = jax.random.PRNGKey(9)
+    tracer = make_tape_tracer(key, 6, pool=128, use_mega=True)
+
+    with pltpu.force_tpu_interpret_mode():
+        loss, g = jax.value_and_grad(
+            lambda s: jnp.sum(tracer(s, o, d) ** 2), allow_int=True
+        )(scene)
+        want, _, _, _ = _forward_tape_mega(scene, o, d, key, 6, 128)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    np.testing.assert_allclose(float(loss), float(jnp.sum(want ** 2)),
+                               rtol=1e-5)
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        assert np.isfinite(np.asarray(getattr(g, name))).all(), name
+
+
+def test_mega_budget_overflow_is_loud():
+    """A budget too small to finish must poison the colors with NaN, not
+    silently truncate."""
+    scene, o, d = setup(width=12, depth=6)
+    key = jax.random.PRNGKey(4)
+    with pltpu.force_tpu_interpret_mode():
+        color, _, _, _ = _forward_tape_mega(
+            scene, o, d, key, 6, 128, budget=2
+        )
+    assert np.isnan(np.asarray(color)).any()
