@@ -47,15 +47,26 @@ def main():
     key = jax.random.PRNGKey(1)
     g_color = jnp.ones((n_rays, 3), jnp.float32)
 
-    configs = []
-    for pool, budget in [(2048, 768), (2048, 640), (4096, 448), (1024, 1280)]:
-        configs.append(("mega", pool, budget))
+    from distributed_raytracer_tpu.grad.tapegrad import _forward_tape_mega
 
-    for name, pool, budget in configs:
+    # trip-count reconnaissance (untimed): how many rows does the private-
+    # queue pool actually use?
+    _, _, n_it, _ = _forward_tape_mega(scene, o, d, key, depth, 2048)
+    print(f"n_it at pool 2048 (worst-case budget): {int(n_it)}", flush=True)
+
+    configs = [
+        ("mega", 2048, 640, 2, 512),
+        ("mega", 2048, 512, 2, 512),
+        ("mega", 2048, 512, 4, 512),
+        ("mega", 2048, 512, 2, 1024),
+        ("mega", 2048, 512, 2, 2048),
+    ]
+
+    for name, pool, budget, pad, br in configs:
         try:
             tracer = make_tape_tracer(
                 key, depth, pool=pool, use_mega=True, segsum="matmul",
-                budget=budget,
+                budget=budget, mega_pad=pad, block_rays=br,
             )
 
             fwd = jax.jit(lambda s, oo, dd: tracer(s, oo, dd))
@@ -69,16 +80,19 @@ def main():
             nan = bool(jnp.isnan(col).any())
             t_g, _ = timeit(vjp, scene, o, d)
             print(
-                f"{name} pool={pool} budget={budget}: "
+                f"{name} pool={pool} budget={budget} pad={pad} br={br}: "
                 f"fwd {t_f*1e3:.2f} ms ({n_rays/t_f/1e6:.2f}M rays/s) "
                 f"fwd+bwd {t_g*1e3:.2f} ms ({n_rays/t_g/1e6:.2f}M rays/s) "
                 f"nan={nan}",
                 flush=True,
             )
         except Exception as e:
-            print(f"{name} pool={pool} budget={budget}: FAILED {type(e).__name__}: {e}",
+            print(f"{name} pool={pool} budget={budget} pad={pad} br={br}: "
+                  f"FAILED {type(e).__name__}: {e}",
                   flush=True)
 
+    if "--skip-ref" in sys.argv:
+        return
     # reference: the round-2 production config
     tracer2 = make_tape_tracer(
         key, depth, pool=2048, use_fused=True, segsum="matmul", budget=768,

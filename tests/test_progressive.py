@@ -138,6 +138,34 @@ def test_shuffled_fill_covers_every_pixel_once():
     np.testing.assert_array_equal(st.raw_sum, st2.raw_sum)
 
 
+def test_shuffled_fill_fused_engine_mechanics():
+    """--fill shuffled with engine='fused' renders the fill chunks through
+    the production fused kernel (pixel_ids path).  Interpret-mode PRNG draws
+    are zeros, so only the mechanics (coverage, determinism, progressive
+    snapshots) are asserted here; color agreement is a -m tpu test."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene, cam = config1()
+    cam = small(cam)
+    snapshots = []
+    with pltpu.force_tpu_interpret_mode():
+        st = render_progressive(
+            scene, cam, seed=0, spp=2, batch=2, fill="shuffled",
+            fill_chunk=1000, engine="fused", pool_size=512,
+            fill_cb=lambda img: snapshots.append(img.copy()),
+        )
+    assert st.samples_done == 2
+    assert np.isfinite(st.raw_sum).all()
+    filled = [int((s.reshape(-1, 3).sum(-1) != 0).sum()) for s in snapshots]
+    assert filled == sorted(filled) and filled[0] < filled[-1]
+    with pltpu.force_tpu_interpret_mode():
+        st2 = render_progressive(
+            scene, cam, seed=0, spp=2, batch=2, fill="shuffled",
+            fill_chunk=1000, engine="fused", pool_size=512,
+        )
+    np.testing.assert_array_equal(st.raw_sum, st2.raw_sum)
+
+
 def test_mean_image_zero_count_guard():
     st = AccumState(
         raw_sum=np.ones((4, 3), np.float32), samples_done=0, seed=0,
