@@ -82,13 +82,21 @@ def _resolve_engine(args, jax):
     deprecated --wavefront/--pallas flags map onto the engine names."""
     engine = args.engine
     if args.accel == "culled":
-        if engine not in ("auto", "wavefront"):
+        # culled works on BOTH wavefront (block-culled intersect) and
+        # fused (the culled fused bounce — walk + shade in one kernel)
+        if engine == "auto":
+            if args.wavefront:
+                return "wavefront"
+            on_tpu = jax.devices()[0].platform != "cpu"
+            return "fused" if on_tpu else "wavefront"
+        if engine not in ("wavefront", "fused"):
             print(
-                f"[cli] --accel culled requires the wavefront engine; "
+                f"[cli] --accel culled requires a wavefront engine; "
                 f"overriding --engine {engine}",
                 file=sys.stderr,
             )
-        return "wavefront"
+            return "wavefront"
+        return engine
     if engine == "auto":
         if args.wavefront:
             return "wavefront"
@@ -132,6 +140,7 @@ def cmd_render(args):
               file=sys.stderr)
         jax.config.update("jax_debug_nans", True)
     intersect_fn = None
+    culled = None
     if args.accel == "culled":
         from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
             build_culled_scene,
@@ -140,7 +149,12 @@ def cmd_render(args):
 
         culled = build_culled_scene(scene)
         scene = culled.scene  # reordered so material gathers line up
-        intersect_fn = make_culled_intersect(culled)
+        if engine != "fused":
+            # wavefront engine: culled block-culled intersect_fn; the
+            # fused engine instead takes the CulledScene itself (the
+            # walk runs INSIDE the fused bounce kernel)
+            intersect_fn = make_culled_intersect(culled)
+            culled = None
 
     job = _job_config(args, engine)
     if args.checkpoint:
@@ -199,8 +213,15 @@ def cmd_render(args):
                 time.sleep(3600)
 
     fill_cb = None
-    if args.fill == "shuffled" and args.snapshot_every:
-        fill_cb = lambda img: write_ppm(out, img)
+    if args.fill == "shuffled" and (args.snapshot_every or display is not None):
+        def fill_cb(img):
+            # mid-batch repaint while the shuffled fill streams in — the
+            # reference's per-pixel-sample converge-on-screen behavior
+            # (colors.rs:26-46) at chunk granularity
+            if args.snapshot_every:
+                write_ppm(out, img)
+            if display is not None:
+                display.update(img, spp_done=0)
 
     # block culling needs frustum-coherent ray blocks to skip work
     ray_order = "tiled" if args.accel == "culled" else "row"
@@ -222,6 +243,7 @@ def cmd_render(args):
             fill_cb=fill_cb,
             ray_order=ray_order,
             resort_every=args.resort,
+            culled=culled,
         )
     write_ppm(out, state.mean_image())
     metrics.report()
@@ -468,7 +490,9 @@ def main(argv=None):
     p.add_argument("--pallas", action="store_true",
                    help="Pallas intersect kernel for the wavefront engine (TPU)")
     p.add_argument("--accel", choices=["none", "culled"], default="none",
-                   help="acceleration structure (culled = Morton block-culled sweep)")
+                   help="acceleration structure (culled = Morton block-"
+                        "culled front-to-back walk; works on the wavefront "
+                        "AND fused engines)")
     p.add_argument("--resort", type=int, default=0, metavar="K",
                    help="re-sort wavefront lanes every K pool iterations "
                         "(secondary-ray coherence for --accel culled; 0 = off)")

@@ -171,7 +171,8 @@ def reinitialize(camera: Camera) -> Camera:
 
 
 def generate_rays(
-    camera: Camera, key: jax.Array, pixel_i: jnp.ndarray, pixel_j: jnp.ndarray
+    camera: Camera, key: jax.Array, pixel_i: jnp.ndarray, pixel_j: jnp.ndarray,
+    draws=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched Camera::get_ray (camera.rs:238-251).
 
@@ -180,24 +181,39 @@ def generate_rays(
     Returns (origins [R,3], directions [R,3]).  Directions are deliberately
     NOT normalized — the reference's intersection math handles a != 1
     (sphere.rs:31) and normalizing would change the defocus sampling.
-    """
-    k_jitter, k_disk = jax.random.split(key)
-    r = pixel_i.shape[0]
 
-    offset = drng.square_jitter(k_jitter, r)  # [R,3], z=0
-    fi = pixel_i.astype(jnp.float32) + offset[:, 0]
-    fj = pixel_j.astype(jnp.float32) + offset[:, 1]
+    draws: optional (jx, jy, u1, u2) uniform [R] rows replacing the
+    threefry draws — the culled fused wavefront passes ray-identity-keyed
+    hash draws so lane re-sorting leaves every ray's camera jitter (and
+    hence the whole image) bit-identical.  jx/jy feed the pixel jitter;
+    u1/u2 the defocus disk via the sqrt-polar closed form (the same
+    distribution as drng.in_unit_disk).
+    """
+    r = pixel_i.shape[0]
+    if draws is None:
+        k_jitter, k_disk = jax.random.split(key)
+        offset = drng.square_jitter(k_jitter, r)  # [R,3], z=0
+        off_x, off_y = offset[:, 0], offset[:, 1]
+        p = drng.in_unit_disk(k_disk, r)  # [R,3]
+        p_x, p_y = p[:, 0], p[:, 1]
+    else:
+        jx, jy, u1, u2 = draws
+        off_x, off_y = jx - 0.5, jy - 0.5
+        rr = jnp.sqrt(u1)
+        th = 6.2831853 * u2
+        p_x, p_y = rr * jnp.cos(th), rr * jnp.sin(th)
+    fi = pixel_i.astype(jnp.float32) + off_x
+    fj = pixel_j.astype(jnp.float32) + off_y
     pixel_sample = (
         camera.pixel00_loc[None, :]
         + fi[:, None] * camera.pixel_delta_u[None, :]
         + fj[:, None] * camera.pixel_delta_v[None, :]
     )
 
-    p = drng.in_unit_disk(k_disk, r)  # [R,3]
     disk_sample = (
         camera.center[None, :]
-        + p[:, 0:1] * camera.defocus_disk_u[None, :]
-        + p[:, 1:2] * camera.defocus_disk_v[None, :]
+        + p_x[:, None] * camera.defocus_disk_u[None, :]
+        + p_y[:, None] * camera.defocus_disk_v[None, :]
     )
     use_disk = camera.defocus_angle > 0.0  # camera.rs:246, as a where
     origin = jnp.where(use_disk, disk_sample, camera.center[None, :])

@@ -147,15 +147,22 @@ def _sweep_winner(ox, oy, oz, dx, dy, dz, a, inv_a, cx, cy, cz, r2, attrs):
     return t_c, wa
 
 
-def _shade_vals(ox, oy, oz, dx, dy, dz, a, act, t_best, w):
+def _shade_vals(ox, oy, oz, dx, dy, dz, a, act, t_best, w, draws=None):
     """In-kernel shading of the pool against the winner attributes [16, BR]
     — surface geometry, Lambertian/metal/dielectric scatter with the
     on-core PRNG (caller must pltpu.prng_seed first), absorb/transparent
     handling, sky for misses (camera.rs:118-144 semantics).
 
+    draws: optional (u1, u2, u3, u4, u_choice) precomputed uniform rows —
+    the culled fused kernel passes ray-identity-keyed hash draws
+    (culled_bounce_kernel._hash_u01) so lane re-sorting leaves the
+    estimator bit-identical; None = consume the on-core PRNG (caller
+    seeded it), the plain fused/mega kernels' behavior.
+
     Returns rows (no_x, no_y, no_z, nd_x, nd_y, nd_z, at_r, at_g, at_b,
     co_r, co_g, co_b, fin_i32, idx_i32, rux, ruy, ruz, u_choice).
-    Shared by _bounce_kernel and the mega kernel."""
+    Shared by _bounce_kernel, the mega kernel, and the culled fused
+    kernel."""
     br = ox.shape[1]
     hit = (t_best < BIG * 0.5) & act
     th = jnp.where(hit, t_best, 1.0)
@@ -179,11 +186,14 @@ def _shade_vals(ox, oy, oz, dx, dy, dz, a, act, t_best, w):
     nx, ny, nz = nx * fs, ny * fs, nz * fs
 
     # gaussians via Box-Muller -> random unit vector
-    u1 = _u01((1, br))
-    u2 = _u01((1, br))
-    u3 = _u01((1, br))
-    u4 = _u01((1, br))
-    u_choice = _u01((1, br))
+    if draws is None:
+        u1 = _u01((1, br))
+        u2 = _u01((1, br))
+        u3 = _u01((1, br))
+        u4 = _u01((1, br))
+        u_choice = _u01((1, br))
+    else:
+        u1, u2, u3, u4, u_choice = draws
     rad1 = jnp.sqrt(-2.0 * jnp.log(u1))
     g1 = rad1 * jnp.cos(6.2831853 * u2)
     g2 = rad1 * jnp.sin(6.2831853 * u2)
@@ -400,6 +410,56 @@ def _auto_chunk(n0: int) -> int:
     return min(512, -(-n0 // LANE) * LANE)
 
 
+def attr_planes(scene: Scene, m: int) -> jnp.ndarray:
+    """[48, m] bf16 winner-attribute planes for the MXU one-hot select:
+    the 16 attribute rows (_A_CX.._A_IDX + padding) of a scene padded to m
+    spheres, each f32 row split into three bf16 planes (hi/mid/lo, exact
+    24-bit reconstruction) via lax.reduce_precision — NEVER astype
+    round-trips; see the excess-precision note below.  Shared by
+    fused_bounce_rows and the culled fused kernel (which chunk-blocks the
+    planes for HBM streaming)."""
+    n0 = scene.num_spheres
+    pad_s = m - n0
+
+    def spad(x, fill=0.0):
+        return jnp.pad(x, (0, pad_s), constant_values=fill)
+
+    zero_m = jnp.zeros((m,), jnp.float32)
+    attr_rows = jnp.stack(
+        [
+            spad(scene.centers[:, 0]),
+            spad(scene.centers[:, 1]),
+            spad(scene.centers[:, 2]),
+            spad(scene.radii, fill=1.0),
+            spad(scene.albedo[:, 0]),
+            spad(scene.albedo[:, 1]),
+            spad(scene.albedo[:, 2]),
+            spad(scene.fuzz),
+            spad(scene.ior, fill=1.0),
+            spad(scene.mat_type.astype(jnp.float32), fill=float(ABSORB)),
+            jnp.arange(m, dtype=jnp.float32),  # global sphere index (exact in f32)
+        ]
+        + [zero_m] * (_A_ROWS - 11),
+        axis=0,
+    )  # [16, m]
+    # Split via lax.reduce_precision, NOT astype(bf16).astype(f32): under
+    # --xla_allow_excess_precision=true (set by this TPU toolchain) XLA may
+    # elide the f32->bf16->f32 round-trip, which makes hi == attr exactly
+    # and ZEROES the mid/lo planes — on hardware that silently truncated
+    # every selected attribute to bf16 and rounded odd sphere indices
+    # >= 257 to even (found as an inverse-rendering regression; pinned by
+    # tests/test_tpu_hw.py::test_winner_idx_exact_512_spheres).
+    # reduce_precision is semantic rounding the compiler must honor.
+    hi_f = jax.lax.reduce_precision(attr_rows, 8, 7)
+    r1 = attr_rows - hi_f
+    mid_f = jax.lax.reduce_precision(r1, 8, 7)
+    lo_f = r1 - mid_f
+    return jnp.concatenate(
+        [hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+         lo_f.astype(jnp.bfloat16)], axis=0
+    )  # [48, m] bf16, hi+mid+lo == attr exactly (24 mantissa bits)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rays", "chunk"))
 def fused_bounce_rows(
     ox, oy, oz, dx, dy, dz,
@@ -433,45 +493,11 @@ def fused_bounce_rows(
         scol(scene.centers[:, 2]),
         scol(r2, fill=-1.0),
     ]
-    # attribute matrix for the in-kernel winner matmul: [16, m] with spheres
-    # on LANES (the matmul contracts over the chunk), split into three bf16
-    # planes (hi/mid/lo — exact 24-bit f32 reconstruction) and chunk-blocked
-    # to [n_chunks*48, chunk] so a BlockSpec can stream one [48, chunk] tile
+    # attribute matrix for the in-kernel winner matmul: [48, m] bf16 planes
+    # (attr_planes; exact 24-bit hi/mid/lo split), chunk-blocked to
+    # [n_chunks*48, chunk] so a BlockSpec can stream one [48, chunk] tile
     # per grid step alongside the sweep columns
-    zero_m = jnp.zeros((m,), jnp.float32)
-    attr_rows = jnp.stack(
-        [
-            spad(scene.centers[:, 0]),
-            spad(scene.centers[:, 1]),
-            spad(scene.centers[:, 2]),
-            spad(scene.radii, fill=1.0),
-            spad(scene.albedo[:, 0]),
-            spad(scene.albedo[:, 1]),
-            spad(scene.albedo[:, 2]),
-            spad(scene.fuzz),
-            spad(scene.ior, fill=1.0),
-            spad(scene.mat_type.astype(jnp.float32), fill=float(ABSORB)),
-            jnp.arange(m, dtype=jnp.float32),  # global sphere index (exact in f32)
-        ]
-        + [zero_m] * (_A_ROWS - 11),
-        axis=0,
-    )  # [16, m]
-    # Split via lax.reduce_precision, NOT astype(bf16).astype(f32): under
-    # --xla_allow_excess_precision=true (set by this TPU toolchain) XLA may
-    # elide the f32->bf16->f32 round-trip, which makes hi == attr exactly
-    # and ZEROES the mid/lo planes — on hardware that silently truncated
-    # every selected attribute to bf16 and rounded odd sphere indices
-    # >= 257 to even (found as an inverse-rendering regression; pinned by
-    # tests/test_tpu_hw.py::test_winner_idx_exact_512_spheres).
-    # reduce_precision is semantic rounding the compiler must honor.
-    hi_f = jax.lax.reduce_precision(attr_rows, 8, 7)
-    r1 = attr_rows - hi_f
-    mid_f = jax.lax.reduce_precision(r1, 8, 7)
-    lo_f = r1 - mid_f
-    planes = jnp.concatenate(
-        [hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
-         lo_f.astype(jnp.bfloat16)], axis=0
-    )  # [48, m] bf16, hi+mid+lo == attr exactly (24 mantissa bits)
+    planes = attr_planes(scene, m)
     n_chunks_s = m // chunk
     attrs = (
         planes.reshape(3 * _A_ROWS, n_chunks_s, chunk)

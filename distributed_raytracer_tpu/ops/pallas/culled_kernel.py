@@ -335,6 +335,36 @@ def _culled_fwd(
 GROUP = 8  # chunk bound tests batched per vectorized [GROUP, BR] evaluation
 
 
+def visit_sorted_bounds(order, bounds_c, bounds_r2):
+    """[n_blocks, c_pad, LANE] bounds packed in each block's VISIT order
+    (lanes 0..3 = bx by bz r2, rest zero), padded with guaranteed-miss rows
+    (r2 = -1) so the walk kernels' group-of-GROUP flag slices never run off
+    the end.  The packed layout satisfies the (8, 128)-tile block
+    constraint that a [c_pad, 1]-blocked layout violates on hardware.
+    Shared by _culled_walk_fwd and the culled fused bounce kernel."""
+    n_blocks, n_chunks = order.shape
+    c_pad = (-(-n_chunks // GROUP) + 1) * GROUP
+    sorted_bc = jnp.take_along_axis(
+        jnp.broadcast_to(bounds_c[None], (n_blocks, n_chunks, 3)),
+        order[:, :, None], axis=1,
+    )                                                   # [B, C, 3]
+    sorted_r2 = jnp.take_along_axis(
+        jnp.broadcast_to(bounds_r2[None], (n_blocks, n_chunks)), order, axis=1
+    )                                                   # [B, C]
+    bounds_pack = jnp.stack(
+        [sorted_bc[:, :, 0], sorted_bc[:, :, 1], sorted_bc[:, :, 2], sorted_r2],
+        axis=-1,
+    )                                                   # [B, C, 4]
+    bounds_pack = jnp.pad(
+        bounds_pack,
+        ((0, 0), (0, c_pad - n_chunks), (0, LANE - 4)),
+        constant_values=0.0,
+    )
+    # padded positions: guaranteed-miss bound (r^2 = -1); the pad above
+    # already zeroed everything else
+    return bounds_pack.at[:, n_chunks:, 3].set(-1.0)
+
+
 def _walk_kernel(
     order_ref,                                        # [n_blocks, C] SMEM (prefetch)
     nvis_ref,                                         # [n_blocks] SMEM (prefetch)

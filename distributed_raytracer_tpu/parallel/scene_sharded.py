@@ -259,6 +259,113 @@ def make_scene_sharded_render(mesh: Mesh, camera: Camera, max_depth: Optional[in
     return jax.jit(smapped)
 
 
+def _replicate_scene_slice_vjp(axis_name: str, n_shards: int):
+    """all_gather a block-sharded Scene into the full Scene, with a custom
+    SLICE transpose: the backward takes this shard's own block of the full
+    cotangent instead of jax's reduce-scatter-of-contributions.
+
+    Why: the tape tracer's custom VJP computes the FULL d_scene identically
+    on every scene-axis member (they replay the same tape against the same
+    gathered params).  The cotangents are therefore REPLICATED, not partial
+    sums — jax's all_gather transpose (a psum-scatter) would multiply the
+    stripe grads by the shard count.  Slicing one's own block is the
+    correct transpose under that replication invariant (pinned exact
+    against the replicated tracer in tests/test_parallel.py)."""
+
+    def gather_leaf(x):
+        g = jax.lax.all_gather(x, axis_name)  # [S, n_local, ...]
+        return g.reshape((g.shape[0] * g.shape[1],) + g.shape[2:])
+
+    @jax.custom_vjp
+    def replicate(scene_shard: Scene) -> Scene:
+        return jax.tree_util.tree_map(gather_leaf, scene_shard)
+
+    def fwd(scene_shard):
+        return replicate(scene_shard), scene_shard.num_spheres
+
+    def bwd(n_local, d_full: Scene):
+        me = jax.lax.axis_index(axis_name)
+
+        def slice_leaf(g):
+            return jax.lax.dynamic_slice_in_dim(g, me * n_local, n_local, 0)
+
+        return (jax.tree_util.tree_map(slice_leaf, d_full),)
+
+    replicate.defvjp(fwd, bwd)
+    return replicate
+
+
+def make_tape_2d_tracer(
+    mesh: Mesh,
+    key: jax.Array,
+    max_depth: int,
+    pool: int = 2048,
+    segsum: str = "matmul",
+    budget=None,
+    refill_every: int = 1,
+    local_intersect="auto",
+):
+    """The PRODUCTION gradient path (reverse-tape wavefront) over the FULL
+    2D (rays x scene) mesh: rays data-parallel AND the per-bounce sweep
+    split over the scene axis — the object-server CheckHit role under
+    gradients (object_server.rs:34-38) at tape speed.
+
+    Per shard, per pool iteration: sweep MY sphere block (optionally the
+    Pallas VMEM kernel), one all_gather + min for the global winner
+    (closest_hit_sharded), then shade/record against the all_gather'd
+    param table (a local gather — cheaper than a per-iteration masked
+    psum, and the [N, 10] table is tiny next to the sweep).  The tape
+    backward replays with the same full table and finishes with the
+    slice transpose of _replicate_scene_slice_vjp, so grads come back
+    sharded like the scene.
+
+    Exactness: scene-axis members share draws (key folded by the RAYS
+    index only) and the per-sphere sweep arithmetic is columnwise
+    identical to the replicated tracer's, so winners, tapes, and grads
+    match the rays-DP tracer bit-for-bit (tests/test_parallel.py).
+
+    Why not the fused/mega kernels here: their value is fusing intersect
+    + winner-select + SHADE + RNG into one program; a scene-axis split
+    needs a cross-shard min BETWEEN intersect and shade, which re-opens
+    the kernel at exactly the seam the fusion removed (docs/DESIGN.md §5).
+    The per-shard sweep still runs the production Pallas intersect.
+
+    Returns f(scene_padded, ray_o, ray_d) -> colors [R,3], differentiable
+    w.r.t. scene and rays; scene grads land block-sharded over "scene".
+    Pad the scene with shard_scene(scene, mesh.shape["scene"]) first; rays
+    must divide mesh.shape["rays"]."""
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+
+    li = _default_local_intersect(local_intersect)
+    n_scene = mesh.shape[SCENE_AXIS]
+    replicate = _replicate_scene_slice_vjp(SCENE_AXIS, n_scene)
+
+    def local(scene_shard: Scene, o, d):
+        scene_full = replicate(scene_shard)
+
+        def isect(ro, rd, _scene_unused):
+            # winner selection against MY block only + one all_gather min;
+            # the tape's VJP never differentiates through intersect (winner-
+            # only design), so closing over scene_shard is gradient-correct
+            return closest_hit_sharded(ro, rd, scene_shard, SCENE_AXIS, li)
+
+        tracer = make_tape_tracer(
+            key, max_depth, pool=pool, intersect_fn=isect, segsum=segsum,
+            budget=budget, refill_every=refill_every,
+        )
+        k = jax.random.fold_in(key, jax.lax.axis_index(RAYS_AXIS))
+        return tracer(scene_full, o, d, k)
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS), P(RAYS_AXIS), P(RAYS_AXIS)),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )
+    return smapped
+
+
 def make_scene_sharded_grad_fn(mesh: Mesh, camera: Camera, max_depth: Optional[int] = None):
     """(loss, scene-grads) over the FULL 2D mesh: rays data-parallel, scene
     tensor-parallel over the sphere axis.  The backward runs through the

@@ -97,8 +97,13 @@ class AccumState:
 
 
 def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
-                        intersect_fn, ray_order="row", resort_every=0):
-    """Jitted sample-batch renderer for the wavefront engines."""
+                        intersect_fn, ray_order="row", resort_every=0,
+                        culled=None):
+    """Jitted sample-batch renderer for the wavefront engines.
+
+    culled: optional CulledScene — on the fused engine this selects the
+    culled fused bounce (walk + shade in one kernel, rid-keyed RNG), where
+    resort_every and tiled ray order become supported performance knobs."""
     import functools
 
     import jax.numpy as jnp
@@ -114,19 +119,28 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         )
 
     if engine == "fused":
-        if resort_every or ray_order == "tiled":
-            import sys
-
-            print(
-                "[render] the fused engine has no lane re-sort / ray-order "
-                "support (its on-core RNG is lane-keyed); --resort/tiled "
-                "order are ignored — use --engine wavefront for the culled/"
-                "coherence path",
-                file=sys.stderr,
+        if culled is not None:
+            render = jax.jit(
+                functools.partial(
+                    wf.render_wavefront_sum_fused, culled=culled,
+                    resort_every=resort_every, pixel_perm=perm,
+                ),
+                static_argnames=("spp", "pool_size"),
             )
-        render = jax.jit(
-            wf.render_wavefront_sum_fused, static_argnames=("spp", "pool_size")
-        )
+        else:
+            if resort_every or ray_order == "tiled":
+                import sys
+
+                print(
+                    "[render] lane re-sort / tiled ray order on the fused "
+                    "engine requires --accel culled (the plain fused "
+                    "kernel's on-core RNG is lane-keyed); ignored",
+                    file=sys.stderr,
+                )
+            render = jax.jit(
+                wf.render_wavefront_sum_fused,
+                static_argnames=("spp", "pool_size"),
+            )
 
         # Keep the pos-gather drain ON: its contrib buffer scales with the
         # spp passed per call, and a large sample batch (e.g. --batch 50 at
@@ -272,6 +286,7 @@ def render_progressive(
     fill_cb=None,
     ray_order: str = "row",
     resort_every: int = 0,
+    culled=None,
 ) -> AccumState:
     """Progressive render loop with optional checkpointing.
 
@@ -292,6 +307,9 @@ def render_progressive(
     """
     spp = spp if spp is not None else camera.samples_per_pixel
 
+    # the culled fused variant has a different (rid-keyed) noise stream
+    # than plain fused — pin it separately so resume stays bit-identical
+    engine_tag = engine + ("+culled" if culled is not None else "")
     state: Optional[AccumState] = None
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         state = AccumState.load(checkpoint_path)
@@ -299,18 +317,18 @@ def render_progressive(
             state.seed != seed
             or state.image_width != camera.image_width
             or state.image_height != camera.image_height
-            or state.engine != engine
+            or state.engine != engine_tag
             or (engine != "scan" and state.batch != batch)
         ):
             state = None  # incompatible checkpoint: start over
     if state is None:
-        state = AccumState.fresh(camera, seed, engine=engine, batch=batch)
+        state = AccumState.fresh(camera, seed, engine=engine_tag, batch=batch)
 
     key = jax.random.PRNGKey(seed)
     if engine != "scan":
         delta_fn = _wavefront_delta_fn(
             scene, camera, engine, pool_size, use_pallas, intersect_fn, ray_order,
-            resort_every,
+            resort_every, culled=culled,
         )
 
     # shuffled progressive fill-in: sample 0 only (the reference's

@@ -251,6 +251,9 @@ def render_wavefront_sum_fused(
     sphere_chunk: int = 0,
     refill_every: int = 2,
     pixel_ids=None,
+    culled=None,
+    resort_every: int = 0,
+    pixel_perm=None,
 ) -> jnp.ndarray:
     """Wavefront render with the FULLY FUSED bounce kernel
     (ops/pallas/bounce_kernel.py): one pallas_call per pool iteration does
@@ -269,12 +272,31 @@ def render_wavefront_sum_fused(
     perm chunks through this (CameraRayIterator parity on the production
     engine, camera.rs:68-116).
 
+    culled: optional CulledScene (ops/pallas/culled_kernel.py) — run the
+    acceleration structure INSIDE the fused engine via the walk-mode
+    culled fused bounce (ops/pallas/culled_bounce_kernel.py).  The culled
+    scene's Morton-reordered `culled.scene` is traced (pass the SAME object
+    the CulledScene was built from as `scene`; only `culled` is used when
+    given).  RNG switches to ray-identity-keyed hash draws (kernel AND
+    camera jitter), so resort_every / pool_size become pure performance
+    knobs: the image is bit-identical for any value.
+
+    resort_every: culled path only — every K-th pool iteration re-sort
+    lanes by (origin Morton cell, direction octant) to keep post-bounce
+    ray blocks frustum-coherent for the walk (GPU wavefront ray re-sorting,
+    TPU-shaped).  Requires culled (the hash RNG); 0 = off.
+
+    pixel_perm: optional [n_pix] i32 STREAM pixel permutation (tiled
+    order for frustum-coherent primary blocks, render/order.py); sums are
+    returned in pixel order.  Mutually exclusive with pixel_ids.
+
     Noise comes from the kernel's on-core PRNG (not threefry), so images
     differ from render_wavefront_sum at the noise level while estimating
     the same integral.  TPU only (compiled Mosaic; use interpret mode on
     CPU for tests)."""
     from distributed_raytracer_tpu.ops.pallas.bounce_kernel import fused_bounce
 
+    assert not (pixel_ids is not None and pixel_perm is not None)
     n_pix = pixel_ids.shape[0] if pixel_ids is not None else camera.num_pixels
     w = camera.image_width
     total = n_pix * spp
@@ -283,6 +305,35 @@ def render_wavefront_sum_fused(
     seed_base = jnp.asarray(
         jax.random.randint(key, (), 0, 2**31 - 1), jnp.int32
     )
+    if culled is not None:
+        from distributed_raytracer_tpu.ops.pallas.culled_bounce_kernel import (
+            _hash_u01,
+            build_culled_pack,
+            culled_fused_bounce,
+        )
+
+        # scene constants (HBM packs) hoisted out of the while_loop
+        pack = build_culled_pack(culled)
+        # camera-jitter hash seed: decorrelated from the kernel's bounce
+        # seeds (a ray's camera draws are keyed by rid ONLY — stable even
+        # if a re-sort shifted which iteration refills it)
+        cam_seed = jnp.asarray(
+            jax.random.randint(jax.random.fold_in(key, 0xCA3), (), 0, 2**31 - 1),
+            jnp.int32,
+        )
+        if resort_every:
+            csc = culled.scene
+            real = csc.radii > 0.0
+            safe_c = jnp.where(real[:, None], csc.centers, 0.0)
+            safe_r = jnp.where(real, csc.radii, 0.0)
+            bb_lo = jnp.min(safe_c - safe_r[:, None], axis=0)
+            bb_hi = jnp.max(safe_c + safe_r[:, None], axis=0)
+    elif resort_every:
+        raise ValueError(
+            "resort_every on the fused engine requires culled (the plain "
+            "fused kernel's PRNG is lane-keyed; a re-sort would shift "
+            "noise streams)"
+        )
     # pos-gather drain (profiled: the three planar color scatters were 58%
     # of the forward program; TPU scatters ~43 ns/row vs ~1.5 ns/row for
     # gathers): finished colors go to a dense per-iteration buffer and only
@@ -298,6 +349,22 @@ def render_wavefront_sum_fused(
         o, d, atten, lane_ray, depth, live, emitted, out, it = carry
         k = jax.random.fold_in(key, it)
 
+        if culled is not None and resort_every:
+            # lane re-sort for secondary-ray walk coherence; pure perf knob
+            # (every draw is rid-keyed, so the image bits don't move)
+            def do_resort(args):
+                o, d, atten, lane_ray, depth, live = args
+                perm = warp_resort_permutation(o, d, live, bb_lo, bb_hi)
+                return (o[perm], d[perm], atten[perm], lane_ray[perm],
+                        depth[perm], live[perm])
+
+            o, d, atten, lane_ray, depth, live = jax.lax.cond(
+                (it > 0) & (it % resort_every < k_sub),
+                do_resort,
+                lambda a: a,
+                (o, d, atten, lane_ray, depth, live),
+            )
+
         # refill — paid ONCE per k_sub bounces (tape-forward design)
         free = ~live
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1
@@ -307,7 +374,17 @@ def render_wavefront_sum_fused(
         pix = ray_idx % n_pix
         if pixel_ids is not None:
             pix = pixel_ids[pix]
-        new_o, new_d = generate_rays(camera, k, pix % w, pix // w)
+        if pixel_perm is not None:
+            pix = pixel_perm[pix]
+        if culled is not None:
+            cam_draws = tuple(
+                _hash_u01(ray_idx, cam_seed, 8 + dd) for dd in range(4)
+            )
+            new_o, new_d = generate_rays(
+                camera, k, pix % w, pix // w, draws=cam_draws
+            )
+        else:
+            new_o, new_d = generate_rays(camera, k, pix % w, pix // w)
         tk = take[:, None]
         o = jnp.where(tk, new_o, o)
         d = jnp.where(tk, new_d, d)
@@ -324,10 +401,17 @@ def render_wavefront_sum_fused(
         fin_color = jnp.zeros((b, 3), jnp.float32)
         for s in range(k_sub):
             it_s = it + s
-            res = fused_bounce(
-                o, d, live, scene, seed_base + it_s * jnp.int32(65537),
-                block_rays=block_rays, chunk=sphere_chunk,
-            )
+            if culled is not None:
+                res = culled_fused_bounce(
+                    o, d, live, lane_ray, pack, culled.chunk,
+                    seed_base + it_s * jnp.int32(65537),
+                    block_rays=block_rays,
+                )
+            else:
+                res = fused_bounce(
+                    o, d, live, scene, seed_base + it_s * jnp.int32(65537),
+                    block_rays=block_rays, chunk=sphere_chunk,
+                )
             depth = depth + live.astype(jnp.int32)
             fin = (res.finished == 1) & live
             keep = live & ~fin
@@ -397,9 +481,13 @@ def render_wavefront_sum_fused(
         colors = jnp.where(
             (pos >= 0)[:, None], flat[jnp.clip(pos, 0, t_worst * b - 1)], 0.0
         )
-        return jnp.sum(colors.reshape(spp, n_pix, 3), axis=0)
-    planes = [jnp.sum(c[:total].reshape(spp, n_pix), axis=0) for c in out]
-    return jnp.stack(planes, axis=-1)
+        sums = jnp.sum(colors.reshape(spp, n_pix, 3), axis=0)
+    else:
+        planes = [jnp.sum(c[:total].reshape(spp, n_pix), axis=0) for c in out]
+        sums = jnp.stack(planes, axis=-1)
+    if pixel_perm is not None:
+        sums = sums[jnp.argsort(pixel_perm)]  # stream order -> pixel order
+    return sums
 
 
 @functools.partial(
