@@ -341,13 +341,24 @@ def make_tape_2d_tracer(
     replicate = _replicate_scene_slice_vjp(SCENE_AXIS, n_scene)
 
     def local(scene_shard: Scene, o, d):
+        n_local = scene_shard.num_spheres
         scene_full = replicate(scene_shard)
 
-        def isect(ro, rd, _scene_unused):
-            # winner selection against MY block only + one all_gather min;
-            # the tape's VJP never differentiates through intersect (winner-
-            # only design), so closing over scene_shard is gradient-correct
-            return closest_hit_sharded(ro, rd, scene_shard, SCENE_AXIS, li)
+        def isect(ro, rd, scene_f):
+            # winner selection: re-slice MY block out of the (replicated)
+            # scene argument — NOT a closure over scene_shard, which is a
+            # tracer of the enclosing shard_map scope and would leak into
+            # the tape's custom-VJP retrace under jax.grad — then one
+            # all_gather + min.  The tape's VJP never differentiates
+            # through intersect (winner-only design).
+            me = jax.lax.axis_index(SCENE_AXIS)
+            block = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, me * n_local, n_local, 0
+                ),
+                scene_f,
+            )
+            return closest_hit_sharded(ro, rd, block, SCENE_AXIS, li)
 
         tracer = make_tape_tracer(
             key, max_depth, pool=pool, intersect_fn=isect, segsum=segsum,

@@ -352,3 +352,60 @@ def test_closest_hit_sharded_pallas_local_matches():
     np.testing.assert_allclose(
         np.asarray(t_p)[h][same], np.asarray(t_j)[h][same], rtol=1e-3
     )
+
+
+def test_tape_2d_tracer_exact_match_and_grads():
+    """The reverse-tape PRODUCTION gradient path over the FULL 2D
+    (rays x scene) mesh must EXACTLY match the rays-DP tracer with the
+    scene replicated: same winners (per-shard sweep + all_gather min is
+    columnwise-identical arithmetic), same tapes (scene-axis members share
+    draws), and same grads (the backward replays against the gathered
+    param table; the slice-transpose scene replication hands each shard
+    its own block) — object_server.rs:34-38's CheckHit role under
+    gradients at tape speed."""
+    from distributed_raytracer_tpu.parallel import make_tape_dp_tracer
+    from distributed_raytracer_tpu.parallel.scene_sharded import (
+        make_tape_2d_tracer,
+        shard_scene,
+    )
+
+    scene, cam = scene_and_cam()
+    mesh = make_mesh(n_rays=4, n_scene=2)
+    padded = shard_scene(scene, 2)
+    r = 64 * 4
+    ids = jnp.arange(r, dtype=jnp.int32)
+    o, d = generate_rays(
+        cam, jax.random.PRNGKey(5), ids % cam.image_width, ids // cam.image_width
+    )
+    key = jax.random.PRNGKey(9)
+    depth, pool = 6, 32
+
+    f2d = make_tape_2d_tracer(mesh, key, depth, pool=pool,
+                              local_intersect=None)
+    dp = make_tape_dp_tracer(mesh, key, depth, pool=pool)
+
+    colors_2d = jax.jit(f2d)(padded, o, d)
+    colors_dp = jax.jit(dp)(padded, o, d)
+    np.testing.assert_array_equal(np.asarray(colors_2d), np.asarray(colors_dp))
+
+    g_2d = jax.jit(
+        jax.grad(lambda s: jnp.sum(f2d(s, o, d) ** 2), allow_int=True)
+    )(padded)
+    g_dp = jax.jit(
+        jax.grad(lambda s: jnp.sum(dp(s, o, d) ** 2), allow_int=True)
+    )(padded)
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(g_2d, name))
+        b = np.asarray(getattr(g_dp, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=name)
+    # ray grads flow too, and match the DP tracer exactly
+    g_d2 = jax.jit(jax.grad(
+        lambda dd: jnp.sum(f2d(padded, o, dd) ** 2)
+    ))(d)
+    g_dd = jax.jit(jax.grad(
+        lambda dd: jnp.sum(dp(padded, o, dd) ** 2)
+    ))(d)
+    assert np.abs(np.asarray(g_d2)).max() > 0
+    np.testing.assert_array_equal(np.asarray(g_d2), np.asarray(g_dd))
