@@ -102,14 +102,23 @@ def main():
     # small pools win — per-slot overhead scales with pool x rows, and at
     # 2048 the pool is ~fully occupied with a negligible drain tail.
     # refill_every=2 halves the refill machinery per tape row.
+    # Round-3 production config: the MEGA kernel (whole pool iteration —
+    # refill + fused bounce + tape record — as ONE Pallas program,
+    # ops/pallas/mega_kernel.py) replaces the host-loop fused forward;
+    # measured 12.8M vs 10.1M rays/s same-process on this workload
+    # (scripts/bench_mega.py / trace_mega.py sweeps: budget 640 > 576,
+    # br 512 > 1024/2048, pad 2 > 4).
     grad_pool = 2048
-    grad_budget = 768
+    grad_budget = 704  # n_it 558 on this workload; 640 failed the 20%-
+    # headroom honesty check below and silently fell back to the worst-
+    # case tape (8.3M rays/s — the check working as designed)
     grad_refill = 2
     tracer_kw = dict(
         max_depth=depth,
         pool=grad_pool,
         intersect_fn=intersect if intersect else closest_hit,
         use_fused=on_tpu,
+        use_mega=on_tpu,
         segsum="matmul" if on_tpu else "scatter",
         refill_every=grad_refill,
     )
@@ -145,15 +154,25 @@ def main():
 
     # tape-budget overflow check (untimed): the tight budget must fit the
     # actual trip count with >=20% headroom or the worst case is used
-    from distributed_raytracer_tpu.grad.tapegrad import _forward_tape
+    from distributed_raytracer_tpu.grad.tapegrad import (
+        _forward_tape,
+        _forward_tape_mega,
+    )
 
-    _, _, n_it, _ = jax.jit(
-        lambda s, o, d: _forward_tape(
-            s, o, d, jax.random.PRNGKey(1), depth, grad_pool,
-            tracer_kw["intersect_fn"], tracer_kw["use_fused"], grad_budget,
-            False, grad_refill,
-        )
-    )(scene, ray_o, ray_d)
+    if on_tpu:
+        _, _, n_it, _ = jax.jit(
+            lambda s, o, d: _forward_tape_mega(
+                s, o, d, jax.random.PRNGKey(1), depth, grad_pool, grad_budget,
+            )
+        )(scene, ray_o, ray_d)
+    else:
+        _, _, n_it, _ = jax.jit(
+            lambda s, o, d: _forward_tape(
+                s, o, d, jax.random.PRNGKey(1), depth, grad_pool,
+                tracer_kw["intersect_fn"], tracer_kw["use_fused"], grad_budget,
+                False, grad_refill,
+            )
+        )(scene, ray_o, ray_d)
     n_it = int(n_it)
     log(f"tape trip count {n_it} / budget {grad_budget}")
     if n_it * 1.2 >= grad_budget:

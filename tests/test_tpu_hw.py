@@ -158,3 +158,155 @@ def test_winner_idx_exact_512_spheres():
             f"chunk={chunk}: {len(bad)} wrong winner indices, "
             f"first: {[(int(b), int(idx[b])) for b in bad[:8]]}"
         )
+
+
+@requires_tpu
+def test_culled_fused_matches_oracle_on_hardware():
+    """COMPILED (Mosaic, not interpret) culled fused bounce vs the pure-JAX
+    oracle — catches hardware-only lowering issues in the walk kernel
+    (i32 vector hash multiplies, DMA double-buffering, bf16 attr DMA)."""
+    from distributed_raytracer_tpu.models.presets import rtiow_final_scene
+    from distributed_raytracer_tpu.ops.pallas.culled_bounce_kernel import (
+        build_culled_pack,
+        culled_fused_bounce,
+    )
+    from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
+        build_culled_scene,
+    )
+    from test_culled_fused import _oracle_bounce, _rays
+
+    scene = rtiow_final_scene(seed=0, pad_to=512)
+    culled = build_culled_scene(scene, chunk=128)
+    pack = build_culled_pack(culled)
+    o, d = _rays(640, jax.random.PRNGKey(3))
+    act = jnp.ones((640,), bool)
+    rid = jnp.arange(640, dtype=jnp.int32) * 7 + 13
+    seed = jnp.int32(987654)
+    out = jax.block_until_ready(
+        culled_fused_bounce(o, d, act, rid, pack, culled.chunk, seed)
+    )
+    (vals, idx, hit) = _oracle_bounce(culled.scene, o, d, act, rid, seed)
+    h = np.asarray(hit)
+    np.testing.assert_array_equal(np.asarray(out.hit), h)
+    np.testing.assert_array_equal(np.asarray(out.idx)[h], np.asarray(idx)[h])
+    # hash draws are EXACT vector arithmetic — must match bit-for-bit
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(vals[17])[0])
+    np.testing.assert_allclose(
+        np.asarray(out.color),
+        np.stack([np.asarray(v)[0] for v in vals[9:12]], -1), atol=1e-5,
+    )
+
+
+@requires_tpu
+def test_culled_fused_resort_bitidentical_on_hardware():
+    """Compiled whole-render bit-identity: the lane re-sort is a pure
+    performance knob under rid-keyed RNG (kernel draws AND camera jitter)."""
+    from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
+        build_culled_scene,
+    )
+    from distributed_raytracer_tpu.render.wavefront import (
+        render_wavefront_sum_fused,
+    )
+
+    scene = three_sphere_scene()
+    cam = make_camera(aspect_ratio=2.0, image_width=64, max_depth=8)
+    culled = build_culled_scene(scene, chunk=128)
+    key = jax.random.PRNGKey(7)
+    f0 = jax.jit(lambda s, k: render_wavefront_sum_fused(
+        s, cam, k, spp=4, pool_size=2048, culled=culled))
+    f4 = jax.jit(lambda s, k: render_wavefront_sum_fused(
+        s, cam, k, spp=4, pool_size=2048, culled=culled, resort_every=4))
+    a = np.asarray(jax.block_until_ready(f0(culled.scene, key)))
+    b = np.asarray(jax.block_until_ready(f4(culled.scene, key)))
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)
+
+
+@requires_tpu
+def test_fused_checkpoint_resume_bitidentical_on_hardware():
+    """Fused-engine checkpoint/resume byte-identity with REAL kernel RNG
+    (the CPU tier can only exercise this with interpret-mode zero draws)."""
+    import os
+    import tempfile
+
+    from distributed_raytracer_tpu.render.progressive import render_progressive
+
+    scene = three_sphere_scene()
+    cam = make_camera(aspect_ratio=2.0, image_width=64, samples_per_pixel=8,
+                      max_depth=8)
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "ck.npz")
+        st1 = render_progressive(scene, cam, seed=3, spp=4, batch=2,
+                                 checkpoint_path=ck, engine="fused",
+                                 pool_size=2048)
+        resumed = render_progressive(scene, cam, seed=3, spp=8, batch=2,
+                                     checkpoint_path=ck, engine="fused",
+                                     pool_size=2048)
+    straight = render_progressive(scene, cam, seed=3, spp=8, batch=2,
+                                  engine="fused", pool_size=2048)
+    assert st1.samples_done == 4 and resumed.samples_done == 8
+    np.testing.assert_array_equal(resumed.raw_sum, straight.raw_sum)
+
+
+@requires_tpu
+def test_mega_tape_grads_on_hardware():
+    """The MEGA-kernel tape tracer (whole pool iteration as one Pallas
+    program) with real on-core RNG: grads finite, nonzero, FD-consistent —
+    the round-3 production fwd+bwd configuration (bench.py)."""
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+
+    scene = (
+        SceneBuilder()
+        .add_lambertian((0, -100.5, -1), 100.0, (0.6, 0.7, 0.2))
+        .add_lambertian((0, 0, -1.5), 0.5, (0.7, 0.3, 0.3))
+        .build()
+    )
+    cam = make_camera(aspect_ratio=1.0, image_width=32, max_depth=6)
+    ids = jnp.arange(cam.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, jax.random.PRNGKey(7), ids % 32, ids // 32)
+    f = make_tape_tracer(jax.random.PRNGKey(2), 6, pool=512, use_mega=True,
+                         segsum="matmul")
+
+    @jax.jit
+    def loss(v):
+        s = scene.replace(albedo=scene.albedo.at[1, 0].set(v))
+        return jnp.sum(f(s, o, d) ** 2)
+
+    g = float(jax.grad(loss)(jnp.float32(0.7)))
+    eps = 1e-2
+    fd = (float(loss(jnp.float32(0.7 + eps)))
+          - float(loss(jnp.float32(0.7 - eps)))) / (2 * eps)
+    assert np.isfinite(g) and g != 0
+    np.testing.assert_allclose(g, fd, rtol=0.08, atol=1e-5)
+
+
+@requires_tpu
+def test_segsum_matmul_plane_split_canary():
+    """bf16 excess-precision canary for the tape backward's segsum plane
+    split (the class of bug that bit twice): segsum='matmul' (bf16x3
+    one-hot MXU contraction) must match segsum='scatter' (plain f32
+    scatter-add) on hardware — a silently elided f32->bf16->f32 round-trip
+    would truncate every cotangent to bf16 and fail the comparison."""
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+
+    scene = three_sphere_scene()
+    cam = make_camera(aspect_ratio=1.0, image_width=32, max_depth=6)
+    ids = jnp.arange(cam.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, jax.random.PRNGKey(7), ids % 32, ids // 32)
+
+    grads = {}
+    for mode in ("matmul", "scatter"):
+        f = make_tape_tracer(jax.random.PRNGKey(2), 6, pool=512,
+                             use_fused=True, segsum=mode)
+        g = jax.jit(jax.grad(
+            lambda s: jnp.sum(f(s, o, d) ** 2), allow_int=True
+        ))(scene)
+        grads[mode] = g
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(grads["matmul"], name))
+        b = np.asarray(getattr(grads["scatter"], name))
+        scale = np.abs(b).max() + 1e-8
+        # the split reconstruction is exact; order of adds differs only in
+        # the [N+1,9] accumulation -> ulp-level tolerance
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=name)
