@@ -59,6 +59,7 @@ def main():
     pool = int(os.environ.get("DRAY_POOL", "16384"))
     spp = int(os.environ.get("DRAY_SPP", "2"))
     resort = int(os.environ.get("DRAY_RESORT", "4"))
+    br = int(os.environ.get("DRAY_BR", "512"))
 
     big = random_sphere_field(n_spheres, seed=3, extent=50.0)
     culled = build_culled_scene(big, chunk=chunk)
@@ -71,11 +72,12 @@ def main():
 
     t_dense = bench("dense fused          ", culled.scene, cam, spp, pool)
     t_culled = bench("culled fused         ", culled.scene, cam, spp, pool,
-                     culled=culled)
+                     culled=culled, block_rays=br)
     t_tiled = bench("culled fused tiled   ", culled.scene, cam, spp, pool,
-                    culled=culled, pixel_perm=perm)
+                    culled=culled, pixel_perm=perm, block_rays=br)
     t_resort = bench("culled fused t+resort", culled.scene, cam, spp, pool,
-                     culled=culled, pixel_perm=perm, resort_every=resort)
+                     culled=culled, pixel_perm=perm, resort_every=resort,
+                     block_rays=br)
     best = min(t_culled, t_tiled, t_resort)
     print(f"speedup vs dense fused: {t_dense/best:.2f}x "
           f"(culled {t_dense/t_culled:.2f}, tiled {t_dense/t_tiled:.2f}, "
