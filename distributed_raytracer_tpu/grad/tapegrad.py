@@ -413,6 +413,7 @@ def _backward_tape(
     segsum: str = "scatter",
     planar: bool = False,
     unroll: int = 1,
+    ray_grads: bool = True,
 ):
     """Reverse replay of the iteration tape -> (d_scene, g_ray_o, g_ray_d).
 
@@ -541,7 +542,9 @@ def _backward_tape(
         # refill backward: ray born here -> emit primary cotangent, cut carry
         tk = rec.take[:, None]
         slot = jnp.where(rec.take, rec.lane_ray, r + 1)
-        if planar:
+        if not ray_grads:
+            pass  # scene-only optimization: skip the per-row g_ray scatters
+        elif planar:
             g_ray_o = tuple(
                 g_ray_o[c].at[slot].set(d_o[:, c], mode="drop", unique_indices=True)
                 for c in range(3)
@@ -571,18 +574,30 @@ def _backward_tape(
         return carry[0] > 0
 
     ft = tape.fdata.dtype
+    if not ray_grads:
+        # token-sized stand-ins: the big per-row g_ray carries (and their
+        # ~10 us/row scatters) vanish from the loop entirely
+        gr0 = (jnp.zeros((2,), ft),) * 3 if planar else jnp.zeros((2, 3), ft)
+        gd0 = (jnp.zeros((2,), ft),) * 3 if planar else jnp.zeros((2, 3), ft)
+    else:
+        gr0 = (
+            tuple(jnp.zeros((r + 2,), ft) for _ in range(3))
+            if planar
+            else jnp.zeros((r + 2, 3), ft)
+        )
+        gd0 = (
+            tuple(jnp.zeros((r + 2,), ft) for _ in range(3))
+            if planar
+            else jnp.zeros((r + 2, 3), ft)
+        )
     carry0 = (
         n_it,
         jnp.zeros((b, 3), ft),
         jnp.zeros((b, 3), ft),
         jnp.zeros((b, 3), ft),
         jnp.zeros((n + 1, 9), ft),
-        tuple(jnp.zeros((r + 2,), ft) for _ in range(3))
-        if planar
-        else jnp.zeros((r + 2, 3), ft),
-        tuple(jnp.zeros((r + 2,), ft) for _ in range(3))
-        if planar
-        else jnp.zeros((r + 2, 3), ft),
+        gr0,
+        gd0,
     )
     (_, _, _, _, g_pm, g_ray_o, g_ray_d) = jax.lax.while_loop(cond, body, carry0)
 
@@ -594,7 +609,10 @@ def _backward_tape(
         fuzz=g_pm[:n, 7],
         ior=g_pm[:n, 8],
     )
-    if planar:
+    if not ray_grads:
+        g_o = jnp.zeros((r, 3), ft)
+        g_d = jnp.zeros((r, 3), ft)
+    elif planar:
         g_o = jnp.stack([c[:r] for c in g_ray_o], axis=-1)
         g_d = jnp.stack([c[:r] for c in g_ray_d], axis=-1)
     else:
@@ -654,6 +672,7 @@ def make_tape_tracer(
     loop_unroll: int = 1,
     use_mega: bool = False,
     mega_pad: int = 2,
+    ray_grads: bool = True,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
     VJP.  The TPU production config is use_mega=True (the whole recording
@@ -661,7 +680,15 @@ def make_tape_tracer(
     routes the host-loop forward through the fused bounce kernel (the
     round-2 production path, still the fallback for scenes larger than
     one sweep chunk).  block_rays: kernel ray-block width override
-    (0 = kernel default)."""
+    (0 = kernel default).
+
+    ray_grads=False: scene-only optimization (camera/rays fixed, the
+    production inverse-rendering shape) — the backward skips the per-row
+    primary-cotangent scatters into the [R]-sized g_ray buffers (measured
+    ~10 us/row on v5e, the dominant share of the backward loop's self
+    time) and returns ZERO d_ray_o/d_ray_d.  Differentiating w.r.t. rays
+    with ray_grads=False silently yields zeros — only set it when rays
+    are not optimized."""
     # the mega forward pads n_it to a multiple of mega_pad so the
     # backward's unrolled replay divides it exactly
     bwd_unroll = mega_pad if use_mega else max(1, refill_every)

@@ -107,8 +107,7 @@ def main():
     # into place against the CURRENT albedo, autodiff (the tracer's exact
     # shading gradients) refits the albedo against the CURRENT geometry,
     # with the smoothing sigma decayed per round as both converge.
-    @jax.jit
-    def loss_geo(theta, albedo, key):
+    def loss_geo_one(theta, albedo, key):
         s = scene.replace(
             centers=scene.centers.at[SPH].set(theta[:3]),
             radii=scene.radii.at[SPH].set(theta[3]),
@@ -116,6 +115,10 @@ def main():
         )
         img = render_diff(s, cam, key, sample_ids)
         return jnp.mean((img - target) ** 2)
+
+    # ALL 2*pairs antithetic evaluations of a step as ONE vmapped render
+    # (the ES inner loop was 16+ separate dispatches/step)
+    loss_geo_batch = jax.jit(jax.vmap(loss_geo_one, in_axes=(0, None, None)))
 
     n = scene.num_spheres
     one = np.zeros((n,), np.float32)
@@ -139,34 +142,39 @@ def main():
     key = jax.random.PRNGKey(11)
     # k_render is FIXED and shared with the target render (above): the
     # smoothed loss is a deterministic function with a true zero at the
-    # solution, so Adam descends instead of chasing per-step noise.
-    rounds = 3
-    best = (jnp.inf, theta)
-    for rnd in range(rounds):
-        sigma = args.sigma * (0.6 ** rnd)
-        pairs = args.pairs * (rnd + 1)
-        opt = optax.adam(2e-2 * (0.5 ** rnd))
+    # solution (measured monotone along the line to truth), so descent is
+    # limited only by ES gradient variance — hence the schedule: wide
+    # sigma / few pairs to close distance, then narrow sigma / many pairs
+    # to polish below the 10% bar.
+    schedule = [
+        (args.sigma, args.pairs, 2e-2, args.es_steps),
+        (args.sigma / 3, args.pairs * 2, 6e-3, args.es_steps // 2),
+        (args.sigma / 6, args.pairs * 3, 3e-3, args.es_steps // 2),
+    ]
+    for rnd, (sigma, pairs, lr, steps) in enumerate(schedule):
+        best = (jnp.inf, theta)  # per round: l_mid isn't comparable across
+        # rounds (different sigma and albedo)
+        opt = optax.adam(lr)
         opt_state = opt.init(theta)
-        for i in range(args.es_steps):
+        for i in range(steps):
             key, k_noise = jax.random.split(key)
-            # antithetic pairs with common random numbers: the MC noise of
-            # L(t+sd) and L(t-sd) cancels in the difference
+            # antithetic pairs with common random numbers, all evaluated
+            # in ONE vmapped render batch
             deltas = jax.random.normal(k_noise, (pairs, 4))
-            g = jnp.zeros((4,))
-            l_mid = 0.0
-            for p in range(pairs):
-                d_ = deltas[p]
-                lp = loss_geo(theta + sigma * d_, albedo, k_render)
-                lm = loss_geo(theta - sigma * d_, albedo, k_render)
-                g = g + (lp - lm) / (2.0 * sigma) * d_
-                l_mid = l_mid + 0.5 * (float(lp) + float(lm))
-            g = g / pairs
-            l_mid = l_mid / pairs
+            thetas = jnp.concatenate(
+                [theta[None] + sigma * deltas, theta[None] - sigma * deltas]
+            )  # [2P, 4]
+            ls = loss_geo_batch(thetas, albedo, k_render)
+            g = jnp.mean(
+                ((ls[:pairs] - ls[pairs:]) / (2.0 * sigma))[:, None] * deltas,
+                axis=0,
+            )
+            l_mid = float(ls.mean())
             if l_mid < best[0]:
                 best = (l_mid, theta)
             upd, opt_state = opt.update(g, opt_state)
             theta = optax.apply_updates(theta, upd)
-            if i % 20 == 0 or i == args.es_steps - 1:
+            if i % 20 == 0 or i == steps - 1:
                 c_err = float(np.linalg.norm(np.asarray(theta[:3]) - true_c))
                 print(f"[ES r{rnd}] step {i:3d}  center err {c_err:.4f} "
                       f"({c_err/true_r*100:5.1f}% r)  radius "
