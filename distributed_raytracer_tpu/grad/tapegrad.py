@@ -658,6 +658,105 @@ def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int):
     return out[:r]
 
 
+def _make_mega_bwd_tracer(
+    key: jax.Array,
+    max_depth: int,
+    pool: int,
+    budget: Optional[int],
+    block_rays: int,
+    mega_pad: int,
+    ray_grads: bool,
+):
+    """Tracer with BOTH directions as single Pallas programs: the mega
+    forward (ops/pallas/mega_kernel.py) and the mega backward
+    (ops/pallas/mega_bwd_kernel.py).  See make_tape_tracer(mega_bwd=True)."""
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import _auto_chunk
+    from distributed_raytracer_tpu.ops.pallas.mega_bwd_kernel import (
+        mega_backward,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_kernel import (
+        mega_forward,
+        scene_sweep_arrays,
+    )
+
+    def run_fwd_raw(scene, ray_o, ray_d, k):
+        r = ray_o.shape[0]
+        b = min(pool, -(-r // 128) * 128)
+        seed = jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+        out = mega_forward(
+            scene, ray_o, ray_d, seed, max_depth, pool=b,
+            budget=(budget or 0), block_rays=block_rays, pad_rows=mega_pad,
+        )
+        t_budget = out.fplanes[0].shape[0]
+        pos = out.pos_cb.reshape(-1)[:r]
+        truncated = out.clean == 0
+        flat = jnp.stack([p.reshape(-1) for p in out.fplanes[13:16]], axis=-1)
+        flat = jnp.where(truncated, jnp.nan, flat)
+        color = jnp.where(
+            (pos >= 0)[:, None],
+            flat[jnp.clip(pos, 0, t_budget * b - 1)],
+            0.0,
+        )
+        return color, out
+
+    @jax.custom_vjp
+    def traced_k(scene, ray_o, ray_d, k):
+        color, _ = run_fwd_raw(scene, ray_o, ray_d, k)
+        return color
+
+    def traced_fwd(scene, ray_o, ray_d, k):
+        color, out = run_fwd_raw(scene, ray_o, ray_d, k)
+        return color, (scene, out)
+
+    def traced_bwd(res, g_color):
+        scene, out = res
+        n = scene.num_spheres
+        m = _auto_chunk(n)
+        # attr planes recomputed from the scene residual (cheap elementwise
+        # vs carrying another [48, m] residual)
+        _, attrs = scene_sweep_arrays(scene, m)
+        g_pm, do_rows, dd_rows = mega_backward(
+            out.fplanes, out.iplanes, out.n_it, g_color, attrs, n=n
+        )
+        d_scene = Scene(
+            centers=g_pm[:n, 0:3],
+            radii=g_pm[:n, 3],
+            albedo=g_pm[:n, 4:7],
+            mat_type=jnp.zeros_like(scene.mat_type),
+            fuzz=g_pm[:n, 7],
+            ior=g_pm[:n, 8],
+        )
+        r = g_color.shape[0]
+        if ray_grads:
+            tb = out.fplanes[0].shape[0]
+            b = out.fplanes[0].shape[2]
+            rpos = out.rpos_cb.reshape(-1)[:r]
+
+            def gather3(rows):
+                flat = jnp.stack([p.reshape(-1) for p in rows], axis=-1)
+                return jnp.where(
+                    (rpos >= 0)[:, None],
+                    flat[jnp.clip(rpos, 0, tb * b - 1)],
+                    0.0,
+                )
+
+            g_o, g_d = gather3(do_rows), gather3(dd_rows)
+        else:
+            g_o = jnp.zeros((r, 3), g_color.dtype)
+            g_d = jnp.zeros((r, 3), g_color.dtype)
+        import numpy as _np
+
+        d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)
+        return d_scene, g_o, g_d, d_k
+
+    traced_k.defvjp(traced_fwd, traced_bwd)
+
+    def traced(scene, ray_o, ray_d, k=None):
+        return traced_k(scene, ray_o, ray_d, key if k is None else k)
+
+    return traced
+
+
 def make_tape_tracer(
     key: jax.Array,
     max_depth: int,
@@ -673,6 +772,7 @@ def make_tape_tracer(
     use_mega: bool = False,
     mega_pad: int = 2,
     ray_grads: bool = True,
+    mega_bwd: bool = False,
 ):
     """f(scene, ray_o, ray_d, k=None) -> colors [R,3] with the reverse-tape
     VJP.  The TPU production config is use_mega=True (the whole recording
@@ -688,7 +788,21 @@ def make_tape_tracer(
     ~10 us/row on v5e, the dominant share of the backward loop's self
     time) and returns ZERO d_ray_o/d_ray_d.  Differentiating w.r.t. rays
     with ray_grads=False silently yields zeros — only set it when rays
-    are not optimized."""
+    are not optimized.
+
+    mega_bwd=True (requires use_mega): the reverse tape walk ALSO runs as
+    one Pallas program (ops/pallas/mega_bwd_kernel.py) — cotangent
+    carries in VMEM scratch, color cotangents fetched in-kernel from the
+    private-queue [C, B] layout (no scatter), winner params and the
+    segment-sum via MXU one-hots.  Grads match the XLA backward to f32
+    accumulation order (the rows-native VJP reassociates sums)."""
+    if mega_bwd and not use_mega:
+        raise ValueError("mega_bwd requires use_mega (private-queue tape)")
+    if mega_bwd:
+        return _make_mega_bwd_tracer(
+            key, max_depth, pool, budget, block_rays or 512, mega_pad,
+            ray_grads,
+        )
     # the mega forward pads n_it to a multiple of mega_pad so the
     # backward's unrolled replay divides it exactly
     bwd_unroll = mega_pad if use_mega else max(1, refill_every)

@@ -71,6 +71,9 @@ class MegaOut(NamedTuple):
     fplanes: tuple      # 16 x [T, 1, B] f32: o3 d3 atten3 ruv3 u contrib3
     iplanes: tuple      # 3 x [T, 1, B] i32: idx, lane_ray, flags
     pos_cb: jnp.ndarray  # [C, B] i32 flat tape finish position, -1 = none
+    rpos_cb: jnp.ndarray  # [C, B] i32 flat tape REFILL position, -1 = none
+    # (ray c*B+lane was taken at row rpos//B, lane rpos%B — where the
+    # mega backward's dense primary-cotangent rows hold its d_o/d_d)
     n_it: jnp.ndarray    # scalar i32 rows recorded
     clean: jnp.ndarray   # scalar i32: 1 = all rays accounted (no truncation)
 
@@ -86,6 +89,7 @@ def _mega_kernel(
     c_r, c_g, c_b,
     idx_o, lray_o, flg_o,                       # [1,1,B] i32
     pos_o,                                      # [C, B] i32 (constant block)
+    rpos_o,                                     # [C, B] i32 refill positions
     meta_o,                                     # (1,2) SMEM i32: n_it, clean
     # --- scratch (pool state persisting across grid steps) ---
     sox, soy, soz, sdx, sdy, sdz,               # (1,B) f32
@@ -112,6 +116,7 @@ def _mega_kernel(
         meta_o[0, 0] = 0
         meta_o[0, 1] = 0
         pos_o[:] = jnp.full_like(pos_o, -1)
+        rpos_o[:] = jnp.full_like(rpos_o, -1)
 
     @pl.when(done_s[0, 0] == 0)
     def _row():
@@ -146,6 +151,10 @@ def _mega_kernel(
             sdepth[:] = jnp.where(tk, 0, sdepth[:])
             slive[:] = (live0 | tk).astype(i32)
             snext[:] = cnext + tk.astype(i32)
+            # record WHERE each ray was refilled (dense, like pos_o): the
+            # mega backward's dense d_o/d_d rows are gathered here
+            sel_take = (rows_i == cnext) & tk
+            rpos_o[:] = jnp.where(sel_take, it * b + lane, rpos_o[:])
 
         # --- post-refill state (source of truth: scratch) ---
         ox, oy, oz = sox[:], soy[:], soz[:]
@@ -372,13 +381,13 @@ def mega_forward(
                                        memory_space=pltpu.VMEM)
     out_specs = (
         [row_spec] * 19
-        + [whole((c_rows, b))]
+        + [whole((c_rows, b))] * 2
         + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     )
     out_shape = (
         [jax.ShapeDtypeStruct((t_budget, 1, b), f32)] * 16
         + [jax.ShapeDtypeStruct((t_budget, 1, b), i32)] * 3
-        + [jax.ShapeDtypeStruct((c_rows, b), i32)]
+        + [jax.ShapeDtypeStruct((c_rows, b), i32)] * 2
         + [jax.ShapeDtypeStruct((1, 2), i32)]
     )
     # output order: o3 d3 atten3 (f32) ... then the i32 rows; the kernel
@@ -406,12 +415,13 @@ def mega_forward(
         jnp.asarray(seed, i32).reshape(1, 1), *tables, *scene_cols, attrs
     )
     (ox, oy, oz, dx, dy, dz, ar, ag, ab, rx, ry, rz, uo,
-     cr, cg, cb, idx, lray, flg, pos_cb, meta) = outs
+     cr, cg, cb, idx, lray, flg, pos_cb, rpos_cb, meta) = outs
     return MegaOut(
         fplanes=(ox, oy, oz, dx, dy, dz, ar, ag, ab, rx, ry, rz, uo,
                  cr, cg, cb),
         iplanes=(idx, lray, flg),
         pos_cb=pos_cb,
+        rpos_cb=rpos_cb,
         n_it=meta[0, 0],
         clean=meta[0, 1],
     )

@@ -1,11 +1,11 @@
-"""Attribute the tape backward's while-loop self time: toggle pieces of
-one_row off (monkeypatched) and time raw-grad at the official config."""
+"""Backward cost attribution: ray_grads on/off at the official config."""
 import sys, os, time
 sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import numpy as np
-from distributed_raytracer_tpu.grad import tapegrad
+from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+from distributed_raytracer_tpu.grad.diff_render import image_loss
 from distributed_raytracer_tpu.models.presets import final_scene_camera, rtiow_final_scene
 from distributed_raytracer_tpu.ops.camera import generate_rays
 
@@ -15,7 +15,7 @@ n_rays = 262144
 w = camera.image_width
 ids = jnp.asarray(np.arange(n_rays, dtype=np.int64) * camera.num_pixels // n_rays, jnp.int32)
 o, d = jax.block_until_ready(generate_rays(camera, jax.random.PRNGKey(0), ids % w, ids // w))
-g_color = jnp.ones((n_rays, 3), jnp.float32)
+params0 = scene.diff_params()
 
 def timeit(f, *args, reps=6):
     out = jax.block_until_ready(f(*args))
@@ -25,22 +25,12 @@ def timeit(f, *args, reps=6):
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
-# variant knob via env-less monkeypatch: wrap _backward_tape
-orig_bwd = tapegrad._backward_tape
-
-def run(label, **patch):
-    import functools
-    def patched(scene, tape, n_it, pos, g_color, segsum="scatter",
-                planar=False, unroll=1):
-        return orig_bwd(scene, tape, n_it, pos, g_color, segsum, planar,
-                        unroll, **patch)
-    tapegrad._backward_tape = patched if patch else orig_bwd
-    tracer = tapegrad.make_tape_tracer(
-        jax.random.PRNGKey(1), camera.max_depth, pool=2048, use_mega=True,
-        segsum="matmul", budget=704)
-    f = jax.jit(jax.grad(lambda s: jnp.sum(tracer(s, o, d) * g_color), allow_int=True))
-    t = timeit(f, scene)
-    print(f"{label}: {t*1e3:.2f} ms ({n_rays/t/1e6:.2f}M rays/s)", flush=True)
-    tapegrad._backward_tape = orig_bwd
-
-run("baseline (unroll 2)")
+for rg in (True, False):
+    tracer = make_tape_tracer(jax.random.PRNGKey(1), camera.max_depth,
+                              pool=2048, use_mega=True, segsum="matmul",
+                              budget=704, ray_grads=rg)
+    f = jax.jit(jax.value_and_grad(
+        lambda p: image_loss(tracer(scene.with_diff_params(p), o, d),
+                             jnp.zeros((n_rays, 3)))))
+    t = timeit(f, params0)
+    print(f"ray_grads={rg}: {t*1e3:.2f} ms ({n_rays/t/1e6:.2f}M rays/s)", flush=True)
