@@ -107,7 +107,11 @@ def main():
     # ops/pallas/mega_kernel.py) replaces the host-loop fused forward;
     # measured 12.8M vs 10.1M rays/s same-process on this workload
     # (scripts/bench_mega.py / trace_mega.py sweeps: budget 640 > 576,
-    # br 512 > 1024/2048, pad 2 > 4).
+    # br 512 > 1024/2048, pad 2 > 4).  mega_bwd then replaces the XLA
+    # while-loop backward with the mega BACKWARD kernel
+    # (ops/pallas/mega_bwd_kernel.py — the whole reverse tape walk as one
+    # Pallas program): 23.5 -> 16.1 ms pipelined on this workload
+    # (scripts/_megabwd_pipelined.py; ray_grads on/off measured equal).
     grad_pool = 2048
     grad_budget = 704  # n_it 558 on this workload; 640 failed the 20%-
     # headroom honesty check below and silently fell back to the worst-
@@ -119,6 +123,7 @@ def main():
         intersect_fn=intersect if intersect else closest_hit,
         use_fused=on_tpu,
         use_mega=on_tpu,
+        mega_bwd=on_tpu,
         segsum="matmul" if on_tpu else "scatter",
         refill_every=grad_refill,
     )
