@@ -43,10 +43,7 @@ def main():
     from distributed_raytracer_tpu.models.presets import final_scene_camera, rtiow_final_scene
     from distributed_raytracer_tpu.ops.camera import generate_rays
     from distributed_raytracer_tpu.ops.pallas.intersect_kernel import closest_hit_pallas
-    from distributed_raytracer_tpu.render.wavefront import (
-        render_wavefront_sum,
-        render_wavefront_sum_fused,
-    )
+    from distributed_raytracer_tpu.render.wavefront import render_wavefront_sum
 
     scene = rtiow_final_scene(seed=0, pad_to=512)
     camera = final_scene_camera(image_width=1200, spp=500)
@@ -69,18 +66,27 @@ def main():
     spp_bench = 4
     fwd_total = camera.num_pixels * spp_bench
 
-    # pool 16384 from the round-2 hardware sweep (65536/32768/16384/8192/4096
-    # gave 13-14.5/15.1/15.3/14.7/13.2 M rays/s pre-block-refill — smaller
-    # pools cut per-slot refill+drain overhead until per-iteration fixed
-    # costs take over); with refill_every=2 (renderer default) and the
-    # chunk-512 kernel the official measured 20.1 M rays/s (BENCH_r02.json
-    # extras.fwd_rays_per_sec = 20,070,932)
+    # Round-3 production forward: the MEGA RENDER kernel (the whole render —
+    # in-kernel camera ray generation + refill + fused bounce + dense color
+    # drain — as ONE Pallas program per image sample,
+    # ops/pallas/mega_render_kernel.py).  Hardware sweep on this workload
+    # (scripts/mega_render_probe.py): pool 2048 > 1024/4096/8192, sub-block
+    # 1024 > 512/2048 -> 33.55 M rays/s vs the round-2 fused host-loop's
+    # 20.1 M (pool 16384, refill_every=2).  budget 1550 is tight over the
+    # measured trip count (n_it 1413); honesty is structural — a truncation
+    # trips the kernel's clean flag and the in-graph lax.cond fallback
+    # re-renders at the proven worst case (bit-identically), so a broken
+    # budget shows up as a slow timing, never a wrong image.
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        render_wavefront_sum_mega,
+    )
+
     @jax.jit
     def fwd(scene, key):
         if on_tpu:
-            # production fast path: fully fused bounce kernel + wavefront pool
-            return render_wavefront_sum_fused(
-                scene, camera, key, spp_bench, pool_size=16384
+            return render_wavefront_sum_mega(
+                scene, camera, key, spp_bench, pool_size=2048, budget=1550,
+                block_rays=1024,
             )
         return render_wavefront_sum(scene, camera, key, spp_bench, pool_size=65536)
 

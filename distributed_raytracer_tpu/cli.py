@@ -101,7 +101,10 @@ def _resolve_engine(args, jax):
         if args.wavefront:
             return "wavefront"
         on_tpu = jax.devices()[0].platform != "cpu"
-        return "fused" if on_tpu else "scan"
+        # mega = the forward production path (one Pallas program per image
+        # sample); render_progressive falls back to fused when the scene or
+        # image exceeds the kernel's single-chunk/VMEM limits
+        return "mega" if on_tpu else "scan"
     return engine
 
 
@@ -478,9 +481,12 @@ def main(argv=None):
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="write progressive ppm every N samples")
-    p.add_argument("--engine", choices=["auto", "scan", "wavefront", "fused"],
+    p.add_argument("--engine",
+                   choices=["auto", "scan", "wavefront", "fused", "mega"],
                    default="auto",
-                   help="auto = fused wavefront kernel on TPU, scan on CPU; "
+                   help="auto = mega render kernel on TPU (one Pallas "
+                        "program per image sample; falls back to fused when "
+                        "the scene/image exceeds its limits), scan on CPU; "
                         "all engines support checkpoint/resume")
     p.add_argument("--fill", choices=["row", "shuffled"], default="row",
                    help="shuffled = sample-0 progressive fill-in in shuffled "

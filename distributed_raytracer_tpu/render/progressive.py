@@ -118,6 +118,37 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
             tile_permutation(camera.image_width, camera.image_height)
         )
 
+    if engine == "mega":
+        # forward-only MEGA RENDER kernel: the whole render (camera ray
+        # generation + refill + bounce + drain) as ONE Pallas program per
+        # image sample — no host-loop glue, no drain scatter/gather
+        from distributed_raytracer_tpu.ops.pallas import mega_render_kernel as mrk
+
+        if not mrk.mega_render_supported(scene, camera.num_pixels, pool_size):
+            raise ValueError(
+                "mega engine unsupported here (scene exceeds one sweep "
+                "chunk or color homes exceed VMEM) — use engine='fused'"
+            )
+        if resort_every or ray_order == "tiled":
+            import sys
+
+            print(
+                "[render] lane re-sort / tiled ray order are not needed on "
+                "the mega engine (rays never leave the kernel); ignored",
+                file=sys.stderr,
+            )
+        budget = mrk.mega_render_budget_tight(
+            camera.num_pixels, camera.max_depth, pool_size
+        )
+        # hardware sweep optimum (flagship workload): sub-block 1024 edges
+        # out 512/2048 (33.55 vs 32.8/32.1 M rays/s)
+        br = 1024 if pool_size % 1024 == 0 else pool_size
+        render = jax.jit(
+            functools.partial(mrk.render_wavefront_sum_mega, budget=budget,
+                              block_rays=br),
+            static_argnames=("spp", "pool_size"),
+        )
+        return lambda k, n: render(scene, camera, k, spp=n, pool_size=pool_size)
     if engine == "fused":
         if culled is not None:
             render = jax.jit(
@@ -278,7 +309,7 @@ def render_progressive(
     resume: bool = True,
     progress_cb: Optional[Callable[[AccumState], None]] = None,
     engine: str = "scan",
-    pool_size: int = 16384,
+    pool_size: Optional[int] = None,
     use_pallas: bool = False,
     intersect_fn=None,
     fill: str = "row",
@@ -297,6 +328,10 @@ def render_progressive(
                   a custom intersect_fn, e.g. the block-culled sweep)
       "fused"     wavefront + the fully fused bounce kernel (TPU) — the
                   production fast path, now with checkpoint/resume
+      "mega"      the forward-only mega RENDER kernel (TPU): one Pallas
+                  program per image sample, camera rays generated in-kernel
+                  ((rid, depth)-keyed hash noise).  Falls back to "fused"
+                  when the scene/image exceeds the kernel's limits.
     The wavefront engines key their noise per sample-batch start, so resume
     is bit-identical when (engine, batch) match the checkpoint; mismatches
     restart the render.
@@ -306,6 +341,34 @@ def render_progressive(
     fill_cb progressive partial images; later samples proceed sample-major.
     """
     spp = spp if spp is not None else camera.samples_per_pixel
+
+    # pool default is engine-dependent: the hardware sweeps put the fused
+    # host-loop optimum at 16384 and the mega kernel's at 2048 (small pools
+    # lose occupancy more slowly than they win back per-row fixed cost —
+    # scripts/mega_render_probe.py, docs/DESIGN.md §13)
+    pool_defaulted = pool_size is None
+    if pool_defaulted:
+        pool_size = 2048 if engine == "mega" else 16384
+
+    if engine == "mega":
+        from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+            mega_render_supported,
+        )
+
+        if culled is not None or not mega_render_supported(
+            scene, camera.num_pixels, pool_size
+        ):
+            import sys
+
+            print(
+                "[render] mega engine unsupported for this workload "
+                "(culled accel, multi-chunk scene, or VMEM-bound image); "
+                "falling back to fused",
+                file=sys.stderr,
+            )
+            engine = "fused"
+            if pool_defaulted:
+                pool_size = 16384
 
     # the culled fused variant has a different (rid-keyed) noise stream
     # than plain fused — pin it separately so resume stays bit-identical
@@ -337,7 +400,7 @@ def render_progressive(
         fill_key = jax.random.fold_in(key, 0x5F111)  # distinct from sample keys
         state.raw_sum = state.raw_sum + _shuffled_fill_sample(
             scene, camera, fill_key, fill_chunk, fill_cb,
-            engine=("fused" if engine == "fused" else "scan"),
+            engine=("fused" if engine in ("fused", "mega") else "scan"),
             pool_size=pool_size,
         )
         state.samples_done = 1

@@ -173,3 +173,83 @@ def test_mean_image_zero_count_guard():
     )
     img = st.mean_image()  # colors.rs:40's zero-count guard
     np.testing.assert_array_equal(img.reshape(-1, 3), np.ones((4, 3)))
+
+
+def _mega_camera(width=32, depth=6):
+    from distributed_raytracer_tpu.models.presets import make_camera
+
+    return make_camera(
+        aspect_ratio=16.0 / 9.0, image_width=width, samples_per_pixel=4,
+        max_depth=depth, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), vup=(0.0, 1.0, 0.0),
+        defocus_angle=0.6, focus_dist=10.0,
+    )
+
+
+def test_mega_engine_resume_bit_identical(tmp_path):
+    """The mega render engine under the progressive loop: checkpoint mid-
+    render, resume, match the uninterrupted run bit-exactly (same contract
+    as the other wavefront engines — noise keyed per sample-batch start)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from distributed_raytracer_tpu.models.presets import get_config
+
+    scene, _ = get_config("config2")
+    cam = _mega_camera()
+    ck = str(tmp_path / "m.ckpt")
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(state):
+        if state.samples_done >= 2:
+            raise Stop
+
+    with pltpu.force_tpu_interpret_mode():
+        try:
+            render_progressive(
+                scene, cam, seed=0, spp=4, batch=2, checkpoint_path=ck,
+                progress_cb=interrupt, engine="mega", pool_size=128,
+            )
+        except Stop:
+            pass
+        mid = AccumState.load(ck)
+        assert mid.samples_done == 2 and mid.engine == "mega"
+
+        resumed = render_progressive(
+            scene, cam, seed=0, spp=4, batch=2, checkpoint_path=ck,
+            engine="mega", pool_size=128,
+        )
+        straight = render_progressive(
+            scene, cam, seed=0, spp=4, batch=2, engine="mega", pool_size=128
+        )
+    np.testing.assert_array_equal(resumed.raw_sum, straight.raw_sum)
+    assert np.isfinite(straight.raw_sum).all()
+    assert (straight.raw_sum != 0).any()
+
+
+def test_mega_engine_falls_back_when_unsupported(tmp_path):
+    """A scene beyond one sweep chunk (> 512 spheres) downgrades the mega
+    engine to fused with a note — same image contract, fused noise stream
+    (pinned via the checkpoint engine tag)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from distributed_raytracer_tpu.models.presets import rtiow_final_scene
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        mega_render_supported,
+    )
+
+    big = rtiow_final_scene(seed=0, pad_to=640)
+    cam = _mega_camera(depth=3)
+    assert not mega_render_supported(big, cam.num_pixels, 128)
+    ck = str(tmp_path / "f.ckpt")
+    with pltpu.force_tpu_interpret_mode():
+        st = render_progressive(
+            big, cam, seed=0, spp=1, batch=1, checkpoint_path=ck,
+            engine="mega", pool_size=128,
+        )
+        fused = render_progressive(
+            big, cam, seed=0, spp=1, batch=1, engine="fused", pool_size=128
+        )
+    assert AccumState.load(ck).engine == "fused"
+    np.testing.assert_array_equal(st.raw_sum, fused.raw_sum)

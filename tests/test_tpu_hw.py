@@ -310,3 +310,35 @@ def test_segsum_matmul_plane_split_canary():
         # the [N+1,9] accumulation -> ulp-level tolerance
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
                                    err_msg=name)
+
+
+@requires_tpu
+def test_mega_render_invariance_and_oracle_on_hardware():
+    """The forward mega RENDER kernel compiled by Mosaic: pool size and
+    sub-block are pure performance knobs (bit-identical images — the
+    (rid, depth)-keyed hash draw contract), and the image matches the dense
+    host oracle to the FMA-contraction tolerance (primary rays differ by
+    <= 1 ulp between compilation contexts; bounces amplify — the same bound
+    test_mega_render pins in interpret mode)."""
+    from test_mega_render import _oracle_sample, _small_camera
+
+    from distributed_raytracer_tpu.models.presets import get_config
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        mega_render_colors,
+    )
+
+    scene, _ = get_config("config2")
+    camera = _small_camera(width=64, depth=8)
+    s, bs, cs = jnp.int32(2), jnp.int32(424242), jnp.int32(171717)
+    a = jax.block_until_ready(
+        mega_render_colors(scene, camera, s, bs, cs, pool=256, block_rays=256)
+    )
+    b = jax.block_until_ready(
+        mega_render_colors(scene, camera, s, bs, cs, pool=512, block_rays=128)
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    want = np.asarray(_oracle_sample(scene, camera, s, bs, cs))
+    d = np.abs(np.asarray(a) - want)
+    assert d.max() < 5e-4, d.max()
+    assert d.mean() < 5e-6, d.mean()
+    assert (np.asarray(a) != 0).any()
