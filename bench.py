@@ -71,8 +71,8 @@ def main():
     # drain — as ONE Pallas program per image sample,
     # ops/pallas/mega_render_kernel.py).  Hardware sweep on this workload
     # (scripts/mega_render_probe.py): pool 2048 > 1024/4096/8192, sub-block
-    # 1024 > 512/2048 -> 33.55 M rays/s vs the round-2 fused host-loop's
-    # 20.1 M (pool 16384, refill_every=2).  budget 1550 is tight over the
+    # 1024 > 512/2048 -> 33.35 M rays/s recorded (BENCH_r03.json) vs the
+    # round-2 fused host-loop's 20.1 M (pool 16384).  budget 1550 is tight over the
     # measured trip count (n_it 1413); honesty is structural — a truncation
     # trips the kernel's clean flag and the in-graph lax.cond fallback
     # re-renders at the proven worst case (bit-identically), so a broken
@@ -210,7 +210,7 @@ def main():
         try:
             t_fwd = timed(fwd, scene, key, iters=3, reps=2)
             fwd_rps = fwd_total / t_fwd
-            log(f"fwd (wavefront): {t_fwd*1e3:8.2f} ms/{fwd_total} rays -> {fwd_rps:,.0f} rays/s")
+            log(f"fwd (mega render): {t_fwd*1e3:8.2f} ms/{fwd_total} rays -> {fwd_rps:,.0f} rays/s")
             extras["fwd_rays_per_sec"] = round(fwd_rps, 1)
         except Exception as e:  # pragma: no cover - defensive
             log(f"fwd-only bench skipped: {type(e).__name__}: {e}")

@@ -141,7 +141,7 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
             camera.num_pixels, camera.max_depth, pool_size
         )
         # hardware sweep optimum (flagship workload): sub-block 1024 edges
-        # out 512/2048 (33.55 vs 32.8/32.1 M rays/s)
+        # out 512/2048 (probe timing 33.6 vs 32.8/32.1 M rays/s)
         br = 1024 if pool_size % 1024 == 0 else pool_size
         render = jax.jit(
             functools.partial(mrk.render_wavefront_sum_mega, budget=budget,
