@@ -315,6 +315,116 @@ def cmd_render_dist(args):
     scene, cam = _load(args)
     mesh = make_mesh(n_scene=args.scene_shards)
     spp = cam.samples_per_pixel
+
+    # engine: the PRODUCTION kernels run per-device inside shard_map (the
+    # reference's ray servers each drive their own rays' bounce loops with
+    # the real kernel, ray_server.rs:46-106 + object_server.rs:34-38 —
+    # not a slow stand-in).  auto = mega on TPU, scan on CPU.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    engine = args.engine
+    if engine == "auto":
+        engine = "scan" if on_cpu else "mega"
+    if engine != "scan" and args.scene_shards > 1:
+        print(
+            "[render-dist] --scene-shards > 1 runs the 2D scan path; "
+            f"--engine {engine} ignored",
+            file=sys.stderr,
+        )
+        engine = "scan"
+    if engine == "mega":
+        from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+            mega_render_supported,
+        )
+
+        if not mega_render_supported(scene, cam.num_pixels):
+            print(
+                "[render-dist] mega engine unsupported for this workload; "
+                "falling back to fused",
+                file=sys.stderr,
+            )
+            engine = "fused"
+    if engine == "fused" and on_cpu and len(jax.devices()) > 1:
+        # interpret-mode Pallas inside a while_loop under a PARTITIONED
+        # shard_map never completes on the fake CPU backend (measured; the
+        # mega engine's scan/cond structure is fine) — fused-dp is a
+        # TPU-only path, validated in the hardware tier
+        print(
+            "[render-dist] the fused engine under a multi-device CPU mesh "
+            "runs the Pallas interpreter inside while_loop+shard_map, "
+            "which does not terminate on this backend; using scan",
+            file=sys.stderr,
+        )
+        engine = "scan"
+
+    if engine in ("mega", "fused"):
+        import contextlib
+
+        import jax.numpy as jnp
+
+        from distributed_raytracer_tpu.parallel import (
+            make_fused_dp_render,
+            make_mega_dp_render,
+        )
+
+        # CPU runs (CI / fake-device meshes) execute the kernels in the
+        # Pallas interpreter — same program, same bits for the mega engine
+        if on_cpu:
+            from jax.experimental.pallas import tpu as pltpu
+
+            interp = pltpu.force_tpu_interpret_mode
+        else:
+            interp = contextlib.nullcontext
+
+        key = jax.random.PRNGKey(args.seed)
+        acc = None
+        with interp():
+            if engine == "mega":
+                render = jax.jit(make_mega_dp_render(mesh, cam))
+                # seeds derived exactly like render_wavefront_sum_mega, and
+                # batches carry ABSOLUTE sample indices: the image is
+                # bit-identical across mesh size AND batch split
+                bs = jnp.asarray(
+                    jax.random.randint(key, (), 0, 2**31 - 1), jnp.int32
+                )
+                cs = jnp.asarray(
+                    jax.random.randint(
+                        jax.random.fold_in(key, 0xCA3), (), 0, 2**31 - 1
+                    ),
+                    jnp.int32,
+                )
+                done = 0
+                while done < spp:
+                    nb = min(args.batch, spp - done)
+                    s = jnp.arange(done, done + nb, dtype=jnp.int32)
+                    part = render(scene, bs, cs, s)
+                    acc = part if acc is None else acc + part
+                    done += nb
+                    if p0:
+                        print(f"samples {done}/{spp} [mega]", file=sys.stderr)
+            else:
+                render = jax.jit(make_fused_dp_render(mesh, cam),
+                                 static_argnums=2)
+                done = 0
+                while done < spp:
+                    nb = min(args.batch, spp - done)
+                    part = render(scene, jax.random.fold_in(key, done), nb)
+                    acc = part if acc is None else acc + part
+                    done += nb
+                    if p0:
+                        print(f"samples {done}/{spp} [fused]", file=sys.stderr)
+            img = (multihost.gather_image(acc)[: cam.num_pixels] / spp).reshape(
+                cam.image_height, cam.image_width, 3
+            )
+        out = args.out or f"{args.config}_dist.ppm"
+        if p0:
+            write_ppm(out, img)
+            print(
+                f"wrote {out} (mesh {dict(mesh.shape)}, engine {engine}, "
+                f"{jax.process_count()} process(es))",
+                file=sys.stderr,
+            )
+        return
+
     if args.scene_shards > 1:
         # run the fully 2D-sharded path (rays x scene)
         import jax.numpy as jnp
@@ -545,6 +655,14 @@ def main(argv=None):
              "every process of a multi-process job — the run_server.rs "
              "fleet launch as one CLI)")
     _add_common(p)
+    p.add_argument("--engine", choices=["auto", "scan", "fused", "mega"],
+                   default="auto",
+                   help="per-device engine inside shard_map: mega/fused = "
+                        "the production Pallas kernels on every device's "
+                        "pixel shard (mega is bit-identical to the single-"
+                        "device render — mesh size is a pure perf knob); "
+                        "scan = the GSPMD masked-scan path.  auto = mega "
+                        "on TPU, scan on CPU")
     p.add_argument("--scene-shards", type=int, default=1,
                    help="shard the sphere axis over this many devices")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",

@@ -89,8 +89,57 @@ def _divmod_w(pix, w: int):
     return q, pix - q * w
 
 
+def camera_ray_rows(cam_ref, pix, rid, cam_seed, w: int):
+    """IN-KERNEL camera ray generation (camera.rs:238-251, the exact
+    arithmetic of ops/camera.py::generate_rays with hash draws): pixel
+    jitter + sqrt-polar defocus-disk sample from 24 SMEM camera scalars,
+    draws keyed (rid, cam_seed, 8..11).  Returns six [1, B] rows
+    (ox, oy, oz, dx, dy, dz).  Shared by the mega render kernel's refill
+    and the recording mega forward's camera mode (mega_kernel.py)."""
+    jx = _hash_u01(rid, cam_seed, _CAM_D0 + 0)
+    jy = _hash_u01(rid, cam_seed, _CAM_D0 + 1)
+    u1 = _hash_u01(rid, cam_seed, _CAM_D0 + 2)
+    u2 = _hash_u01(rid, cam_seed, _CAM_D0 + 3)
+    j_row, i_row = _divmod_w(pix, w)
+    fi = i_row.astype(jnp.float32) + (jx - 0.5)
+    fj = j_row.astype(jnp.float32) + (jy - 0.5)
+    # pixel_sample = p00 + fi*pdu + fj*pdv (component rows)
+    psx = cam_ref[0, _C_P00 + 0] + fi * cam_ref[0, _C_PDU + 0] \
+        + fj * cam_ref[0, _C_PDV + 0]
+    psy = cam_ref[0, _C_P00 + 1] + fi * cam_ref[0, _C_PDU + 1] \
+        + fj * cam_ref[0, _C_PDV + 1]
+    psz = cam_ref[0, _C_P00 + 2] + fi * cam_ref[0, _C_PDU + 2] \
+        + fj * cam_ref[0, _C_PDV + 2]
+    # defocus-disk origin (sqrt-polar closed form)
+    rr = jnp.sqrt(u1)
+    th = 6.2831853 * u2
+    p_x = rr * jnp.cos(th)
+    p_y = rr * jnp.sin(th)
+    use_disk = cam_ref[0, _C_ANG] > 0.0
+    ctr_x = cam_ref[0, _C_CTR + 0]
+    ctr_y = cam_ref[0, _C_CTR + 1]
+    ctr_z = cam_ref[0, _C_CTR + 2]
+    ox_new = jnp.where(
+        use_disk,
+        ctr_x + p_x * cam_ref[0, _C_DDU + 0] + p_y * cam_ref[0, _C_DDV + 0],
+        ctr_x,
+    )
+    oy_new = jnp.where(
+        use_disk,
+        ctr_y + p_x * cam_ref[0, _C_DDU + 1] + p_y * cam_ref[0, _C_DDV + 1],
+        ctr_y,
+    )
+    oz_new = jnp.where(
+        use_disk,
+        ctr_z + p_x * cam_ref[0, _C_DDU + 2] + p_y * cam_ref[0, _C_DDV + 2],
+        ctr_z,
+    )
+    return ox_new, oy_new, oz_new, psx - ox_new, psy - oy_new, psz - oz_new
+
+
 def _mega_render_kernel(
-    scal_ref,                        # (1, 4) SMEM i32: bounce_seed cam_seed sample n_valid
+    scal_ref,                        # (1, 6) SMEM i32: bounce_seed cam_seed
+                                     #   rid_base n_valid pix0 (pad)
     cam_ref,                         # (1, 24) SMEM f32 camera scalars
     cx_ref, cy_ref, cz_ref, r2_ref,  # [m, 1] VMEM sweep columns
     attr_ref,                        # [48, m] VMEM bf16 planes
@@ -130,8 +179,14 @@ def _mega_render_kernel(
     def _row():
         bounce_seed = scal_ref[0, 0]
         cam_seed = scal_ref[0, 1]
-        sample = scal_ref[0, 2]
+        # rid_base = sample * n_global: a ray's GLOBAL id is rid_base +
+        # pix0 + local pixel index, so a device rendering the pixel shard
+        # [pix0, pix0 + n_valid) draws the SAME noise as the single-device
+        # whole-image render — the mesh size becomes a pure performance
+        # knob (bit-identical image), like pool/block/budget.
+        rid_base = scal_ref[0, 2]
         n_valid = scal_ref[0, 3]
+        pix0 = scal_ref[0, 4]
         lane = jax.lax.broadcasted_iota(i32, (1, b), 1)
         live0 = slive[:] > 0
         cnext = snext[:]
@@ -144,52 +199,17 @@ def _mega_render_kernel(
         # draws) ---
         @pl.when(n_take > 0)
         def _refill():
-            pix = jnp.minimum(cnext * b + lane, n_valid - 1)
-            rid = sample * n_valid + pix
-            jx = _hash_u01(rid, cam_seed, _CAM_D0 + 0)
-            jy = _hash_u01(rid, cam_seed, _CAM_D0 + 1)
-            u1 = _hash_u01(rid, cam_seed, _CAM_D0 + 2)
-            u2 = _hash_u01(rid, cam_seed, _CAM_D0 + 3)
-            j_row, i_row = _divmod_w(pix, w)
-            fi = i_row.astype(jnp.float32) + (jx - 0.5)
-            fj = j_row.astype(jnp.float32) + (jy - 0.5)
-            # pixel_sample = p00 + fi*pdu + fj*pdv (component rows)
-            psx = cam_ref[0, _C_P00 + 0] + fi * cam_ref[0, _C_PDU + 0] \
-                + fj * cam_ref[0, _C_PDV + 0]
-            psy = cam_ref[0, _C_P00 + 1] + fi * cam_ref[0, _C_PDU + 1] \
-                + fj * cam_ref[0, _C_PDV + 1]
-            psz = cam_ref[0, _C_P00 + 2] + fi * cam_ref[0, _C_PDU + 2] \
-                + fj * cam_ref[0, _C_PDV + 2]
-            # defocus-disk origin (sqrt-polar closed form)
-            rr = jnp.sqrt(u1)
-            th = 6.2831853 * u2
-            p_x = rr * jnp.cos(th)
-            p_y = rr * jnp.sin(th)
-            use_disk = cam_ref[0, _C_ANG] > 0.0
-            ctr_x = cam_ref[0, _C_CTR + 0]
-            ctr_y = cam_ref[0, _C_CTR + 1]
-            ctr_z = cam_ref[0, _C_CTR + 2]
-            ox_new = jnp.where(
-                use_disk,
-                ctr_x + p_x * cam_ref[0, _C_DDU + 0] + p_y * cam_ref[0, _C_DDV + 0],
-                ctr_x,
-            )
-            oy_new = jnp.where(
-                use_disk,
-                ctr_y + p_x * cam_ref[0, _C_DDU + 1] + p_y * cam_ref[0, _C_DDV + 1],
-                ctr_y,
-            )
-            oz_new = jnp.where(
-                use_disk,
-                ctr_z + p_x * cam_ref[0, _C_DDU + 2] + p_y * cam_ref[0, _C_DDV + 2],
-                ctr_z,
+            pix = pix0 + jnp.minimum(cnext * b + lane, n_valid - 1)
+            rid = rid_base + pix
+            ox_new, oy_new, oz_new, dx_new, dy_new, dz_new = camera_ray_rows(
+                cam_ref, pix, rid, cam_seed, w
             )
             sox[:] = jnp.where(take, ox_new, sox[:])
             soy[:] = jnp.where(take, oy_new, soy[:])
             soz[:] = jnp.where(take, oz_new, soz[:])
-            sdx[:] = jnp.where(take, psx - ox_new, sdx[:])
-            sdy[:] = jnp.where(take, psy - oy_new, sdy[:])
-            sdz[:] = jnp.where(take, psz - oz_new, sdz[:])
+            sdx[:] = jnp.where(take, dx_new, sdx[:])
+            sdy[:] = jnp.where(take, dy_new, sdy[:])
+            sdz[:] = jnp.where(take, dz_new, sdz[:])
             sar[:] = jnp.where(take, 1.0, sar[:])
             sag[:] = jnp.where(take, 1.0, sag[:])
             sab[:] = jnp.where(take, 1.0, sab[:])
@@ -204,7 +224,7 @@ def _mega_render_kernel(
         ar, ag, ab = sar[:], sag[:], sab[:]
         live = slive[:] > 0
         c_cur = scur[:]
-        rid_full = sample * n_valid + c_cur * b + lane
+        rid_full = rid_base + pix0 + c_cur * b + lane
         dep_full = sdepth[:]
 
         # --- one fused bounce, sub-block by sub-block ---
@@ -346,11 +366,22 @@ def mega_render_sample(
     pool: int = 2048,
     budget: int = 0,
     block_rays: int = 512,
+    pix0=None,
+    n_valid=None,
+    n_global=None,
 ) -> MegaRenderOut:
     """Render ONE full image sample (n_pix rays, pixel p = ray p) as one
     pallas_call.  budget=0 -> the proven worst case.  Returns per-ray
     colors at private-queue homes plus the clean flag; use
-    mega_render_colors for the cond-fallback flat view."""
+    mega_render_colors for the cond-fallback flat view.
+
+    Shard mode (parallel/sharded.py::make_mega_dp_render): n_pix is the
+    LOCAL capacity; pix0 (traced i32) is the shard's global pixel offset,
+    n_valid (traced i32, <= n_pix) its real pixel count, n_global the
+    whole image's pixel count.  Draws stay keyed by GLOBAL (rid, depth),
+    so the sharded image is bit-identical to the single-device render —
+    the reference's 5 ray servers each driving their own rays' bounce
+    loops (ray_server.rs:46-106) without its noise non-reproducibility."""
     b = pool
     if b % LANE:
         raise ValueError(f"pool must be a multiple of {LANE}")
@@ -359,6 +390,12 @@ def mega_render_sample(
         raise ValueError(f"pool {b} not a multiple of block_rays {br}")
     c_rows = _c_rows(n_pix, b)
     t_budget = budget or mega_render_budget(n_pix, max_depth, b)
+    if pix0 is None:
+        pix0 = jnp.int32(0)
+    if n_valid is None:
+        n_valid = jnp.int32(n_pix)
+    if n_global is None:
+        n_global = jnp.int32(n_pix)
 
     m = _auto_chunk(scene.num_spheres)
     if m < -(-scene.num_spheres // LANE) * LANE:
@@ -370,10 +407,12 @@ def mega_render_sample(
     f32, i32 = jnp.float32, jnp.int32
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
+    rid_base = jnp.asarray(sample, i32) * jnp.asarray(n_global, i32)
     scal = jnp.stack(
         [jnp.asarray(bounce_seed, i32), jnp.asarray(cam_seed, i32),
-         jnp.asarray(sample, i32), jnp.asarray(n_pix, i32)]
-    ).reshape(1, 4)
+         rid_base, jnp.asarray(n_valid, i32), jnp.asarray(pix0, i32),
+         jnp.zeros((), i32)]
+    ).reshape(1, 6)
 
     outs = pl.pallas_call(
         functools.partial(
@@ -382,7 +421,7 @@ def mega_render_sample(
         ),
         grid=(t_budget,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ]
         + [whole((m, 1))] * 4
@@ -420,20 +459,27 @@ def mega_render_colors(
     pool: int = 2048,
     budget: int = 0,
     block_rays: int = 512,
+    n_cap: int = 0,
+    pix0=None,
+    n_valid=None,
+    n_global=None,
 ) -> jnp.ndarray:
-    """Per-pixel colors [n_pix, 3] for one image sample, with the
+    """Per-pixel colors [n_cap, 3] for one image sample, with the
     truncation fallback: when a tight `budget` truncates (clean == 0) the
     worst-case kernel re-renders under lax.cond — same bits, since draws
-    are (rid, depth)-keyed."""
-    n_pix = camera.num_pixels
+    are (rid, depth)-keyed.  n_cap=0 -> the whole image (num_pixels);
+    shard mode passes the local capacity + pix0/n_valid/n_global (see
+    mega_render_sample)."""
+    n_cap = n_cap or camera.num_pixels
     w = camera.image_width
-    kw = dict(n_pix=n_pix, w=w, max_depth=camera.max_depth, pool=pool,
-              block_rays=block_rays)
+    kw = dict(n_pix=n_cap, w=w, max_depth=camera.max_depth, pool=pool,
+              block_rays=block_rays, pix0=pix0, n_valid=n_valid,
+              n_global=n_global)
     cam_row = camera_scalar_row(camera)
     out = mega_render_sample(
         scene, cam_row, sample, bounce_seed, cam_seed, budget=budget, **kw
     )
-    if budget and budget < mega_render_budget(n_pix, camera.max_depth, pool):
+    if budget and budget < mega_render_budget(n_cap, camera.max_depth, pool):
         colors = jax.lax.cond(
             out.clean == 1,
             lambda _: out.colors,
@@ -444,7 +490,7 @@ def mega_render_colors(
         )
     else:
         colors = out.colors
-    return colors.reshape(-1, 3)[:n_pix]
+    return colors.reshape(-1, 3)[:n_cap]
 
 
 def render_wavefront_sum_mega(

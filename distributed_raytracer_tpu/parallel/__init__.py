@@ -8,6 +8,8 @@ from distributed_raytracer_tpu.parallel.mesh import (  # noqa: F401
 )
 from distributed_raytracer_tpu.parallel.sharded import (  # noqa: F401
     ShardedRenderer,
+    make_fused_dp_render,
+    make_mega_dp_render,
     make_sharded_grad_fn,
     make_tape_dp_tracer,
 )

@@ -179,6 +179,11 @@ def make_tape_dp_tracer(
     segsum: str = "scatter",
     budget=None,
     refill_every: int = 1,
+    use_mega: bool = False,
+    mega_bwd: bool = False,
+    block_rays: int = 0,
+    mega_pad: int = 2,
+    ray_grads: bool = True,
 ):
     """The PRODUCTION gradient path (grad/tapegrad.py reverse-tape
     wavefront) data-parallel over the mesh "rays" axis.
@@ -200,6 +205,13 @@ def make_tape_dp_tracer(
     Returns f(scene, ray_o [R,3], ray_d [R,3]) -> colors [R,3]; R must be
     divisible by the rays-axis size.  f is differentiable w.r.t. scene
     and rays.
+
+    The PRODUCTION kernel flags plumb straight through: use_mega/mega_bwd
+    run the whole recording forward / reverse tape walk as single Pallas
+    programs per device shard (ops/pallas/mega_kernel.py,
+    mega_bwd_kernel.py) — the round-3 single-chip engines, now on the
+    mesh.  use_fused is the host-loop fused-bounce fallback for scenes
+    past one sweep chunk.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -216,6 +228,11 @@ def make_tape_dp_tracer(
         segsum=segsum,
         budget=budget,
         refill_every=refill_every,
+        use_mega=use_mega,
+        mega_bwd=mega_bwd,
+        block_rays=block_rays,
+        mega_pad=mega_pad,
+        ray_grads=ray_grads,
     )
 
     def local(scene, o, d):
@@ -229,3 +246,124 @@ def make_tape_dp_tracer(
         out_specs=P(RAYS_AXIS),
         check_vma=False,
     )
+
+
+def make_mega_dp_render(
+    mesh: Mesh,
+    camera: Camera,
+    pool_size: int = 2048,
+    budget: Optional[int] = None,
+    block_rays: int = 512,
+):
+    """The PRODUCTION forward engine (mega render kernel) data-parallel
+    over the mesh "rays" axis: each device runs ONE Pallas program per
+    image sample on its contiguous pixel shard, exactly the reference's
+    ray servers each driving their own rays' bounce loops
+    (ray_server.rs:46-106) — but because every draw is keyed by GLOBAL
+    (rid, depth) hash (mega_render_kernel.py), the distributed image is
+    BIT-IDENTICAL to the single-device render: the mesh size is a pure
+    performance knob.
+
+    Returns f(scene, bounce_seed, cam_seed, sample_indices [S] i32) ->
+    color sums [padded_pixels, 3] sharded over "rays" (slice to
+    camera.num_pixels after gather).  Seeds are i32 scalars — derive them
+    once per render from a PRNGKey like render_wavefront_sum_mega does so
+    batched calls with absolute sample indices accumulate bit-identically
+    across any batch split.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from distributed_raytracer_tpu.ops.pallas import mega_render_kernel as mrk
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import LANE
+
+    n_shards = mesh.shape[RAYS_AXIS]
+    n_pix = camera.num_pixels
+    s_loc = pad_to_multiple(n_pix, n_shards) // n_shards
+    pool = min(pool_size, pad_to_multiple(s_loc, LANE))
+    # largest LANE-multiple divisor of the pool <= block_rays (the kernel
+    # requires pool % block_rays == 0; a small-image pool may not be a
+    # power of two)
+    br = LANE
+    for cand in range(LANE, min(block_rays, pool) + 1, LANE):
+        if pool % cand == 0:
+            br = cand
+    if budget is None:
+        budget = mrk.mega_render_budget_tight(s_loc, camera.max_depth, pool)
+
+    def local(scene, bounce_seed, cam_seed, samples):
+        k = jax.lax.axis_index(RAYS_AXIS)
+        pix0 = (k * s_loc).astype(jnp.int32)
+        n_valid = jnp.clip(jnp.int32(n_pix) - pix0, 0, s_loc)
+
+        def one(s):
+            return mrk.mega_render_colors(
+                scene, camera, s, bounce_seed, cam_seed, pool=pool,
+                budget=budget, block_rays=br, n_cap=s_loc, pix0=pix0,
+                n_valid=n_valid, n_global=jnp.int32(n_pix),
+            )
+
+        per_sample = jax.lax.map(one, samples)
+        return jnp.sum(per_sample, axis=0)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )
+
+
+def make_fused_dp_render(
+    mesh: Mesh,
+    camera: Camera,
+    pool_size: int = 16384,
+    block_rays: int = 512,
+):
+    """The fused host-loop engine (render_wavefront_sum_fused) data-
+    parallel over the mesh "rays" axis — the fallback for workloads the
+    mega kernel declines (scene past one sweep chunk, VMEM-bound homes).
+
+    Each device renders its contiguous pixel-id shard through the
+    pixel_ids path with its key folded by axis_index, so the sharded
+    result EXACTLY equals concatenating per-shard single-device runs
+    (the exact-match oracle in tests); the noise stream differs from the
+    single-device whole-image render (lane-keyed PRNG — a valid estimator
+    of the same integral, the same class of difference as pool size).
+
+    Returns f(scene, key, n_samples-static) -> color sums
+    [padded_pixels, 3] sharded over "rays"."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from distributed_raytracer_tpu.render import wavefront as wf
+
+    n_shards = mesh.shape[RAYS_AXIS]
+    n_pix = camera.num_pixels
+    m = pad_to_multiple(n_pix, n_shards)
+    s_loc = m // n_shards
+    ids = np.arange(m, dtype=np.int32)
+    ids[n_pix:] = 0  # padding lanes re-render pixel 0; sliced off after gather
+    ids_j = jnp.asarray(ids)
+
+    def render(scene, key, spp: int):
+        # spp is static (jit-cached per value by the caller's jit, exactly
+        # like render_wavefront_sum_fused's own static spp)
+        def local(scene, key, ids_shard):
+            k = jax.random.fold_in(key, jax.lax.axis_index(RAYS_AXIS))
+            return wf.render_wavefront_sum_fused(
+                scene, camera, k, spp, pool_size=min(pool_size, s_loc * spp),
+                block_rays=block_rays, pixel_ids=ids_shard,
+            )
+
+        sharded = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(RAYS_AXIS)),
+            out_specs=P(RAYS_AXIS),
+            check_vma=False,
+        )
+        return sharded(scene, key, ids_j)
+
+    return render

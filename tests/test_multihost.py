@@ -131,3 +131,46 @@ def test_render_dist_cli_two_process(tmp_path):
     # cross-device reductions), so the 4-device 2-process image matches
     # the single-process one byte-for-byte
     assert single_bytes == multi_bytes
+
+
+@pytest.mark.slow
+def test_render_dist_cli_mega_mesh_size_invariant(tmp_path):
+    """`render-dist --engine mega` runs the PRODUCTION mega render kernel
+    per device inside shard_map (on CPU: the Pallas interpreter).  Draws
+    are keyed by GLOBAL (rid, depth), so an 8-fake-device mesh writes a
+    PPM byte-identical to a 1-device run of the same command — the
+    distributed layer drives the real kernel (ray_server.rs:46-106 parity)
+    with zero estimator drift."""
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(out_path, fake_devices):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={fake_devices}"
+        )
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        p = subprocess.Popen(
+            [_sys.executable, "-m", "distributed_raytracer_tpu.cli",
+             "render-dist", "--config", "config1", "--cpu", "--spp", "2",
+             "--width", "48", "--batch", "1", "--engine", "mega",
+             "--out", out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        out, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, out
+        assert "[mega]" in out, out
+        return out
+
+    one_out = str(tmp_path / "one.ppm")
+    eight_out = str(tmp_path / "eight.ppm")
+    run_cli(one_out, fake_devices=1)
+    run_cli(eight_out, fake_devices=8)
+    with open(one_out, "rb") as f:
+        one_bytes = f.read()
+    with open(eight_out, "rb") as f:
+        eight_bytes = f.read()
+    assert one_bytes == eight_bytes

@@ -409,3 +409,157 @@ def test_tape_2d_tracer_exact_match_and_grads():
     ))(d)
     assert np.abs(np.asarray(g_d2)).max() > 0
     np.testing.assert_array_equal(np.asarray(g_d2), np.asarray(g_dd))
+
+
+def test_mega_dp_render_bit_identical_to_single_device():
+    """The PRODUCTION forward engine on the mesh (round-4 headline wiring):
+    make_mega_dp_render runs the mega render kernel per device on its pixel
+    shard, and because every draw is keyed by GLOBAL (rid, depth) hash the
+    8-device image is BIT-IDENTICAL to the single-device render — the mesh
+    size joins pool/block/budget as a pure performance knob.  The reference
+    distributes its real kernel too (ray_server.rs:46-106) but its images
+    are unreproducible (unseeded thread RNG, prelude.rs:23-25)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        render_wavefront_sum_mega,
+    )
+    from distributed_raytracer_tpu.parallel import make_mega_dp_render
+
+    scene, _ = scene_and_cam()
+    cam = make_camera(
+        aspect_ratio=16.0 / 9.0, image_width=32, samples_per_pixel=2,
+        max_depth=6, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), vup=(0.0, 1.0, 0.0),
+        defocus_angle=2.0, focus_dist=10.0,  # exercise the disk-sample path
+    )
+    key = jax.random.PRNGKey(7)
+    spp = 2
+    n_pix = cam.num_pixels
+
+    with pltpu.force_tpu_interpret_mode():
+        single = np.asarray(
+            render_wavefront_sum_mega(scene, cam, key, spp, pool_size=128,
+                                      block_rays=128)
+        )
+
+    mesh = make_mesh()
+    render = make_mega_dp_render(mesh, cam, pool_size=128, block_rays=128)
+    # the same seed derivation render_wavefront_sum_mega uses
+    bs = jnp.asarray(jax.random.randint(key, (), 0, 2**31 - 1), jnp.int32)
+    cs = jnp.asarray(
+        jax.random.randint(jax.random.fold_in(key, 0xCA3), (), 0, 2**31 - 1),
+        jnp.int32,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        sharded = np.asarray(
+            jax.jit(render)(scene, bs, cs, jnp.arange(spp, dtype=jnp.int32))
+        )[:n_pix]
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_fused_dp_render_matches_per_shard_oracle():
+    """make_fused_dp_render == concatenating per-shard single-device
+    render_wavefront_sum_fused runs with the same folded keys (the fallback
+    engine for scenes past one sweep chunk, exact by construction).
+
+    CPU-tier limitation (found empirically): interpret-mode Pallas inside
+    a lax.while_loop under a PARTITIONED shard_map never completes on the
+    fake CPU backend (1-device mesh compiles in ~6 s; any >= 2-device mesh
+    runs > 10 min — the interpreter's callback lowering and the while-loop
+    partitioner interact pathologically).  On TPU the kernel is an opaque
+    Mosaic call and the construct is fine — the multi-device assertion
+    lives in the hardware tier (test_tpu_hw.py); here a 1-device mesh
+    pins the shard_map plumbing (pixel-id sharding, key folding, padding)
+    exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from distributed_raytracer_tpu.parallel import make_fused_dp_render
+    from distributed_raytracer_tpu.render import wavefront as wf
+
+    scene, _ = scene_and_cam()
+    cam = make_camera(aspect_ratio=2.0, image_width=32, samples_per_pixel=2,
+                      max_depth=5)
+    key = jax.random.PRNGKey(3)
+    spp = 2
+    mesh = make_mesh(n_rays=1, n_scene=1, devices=jax.devices()[:1])
+    render = make_fused_dp_render(mesh, cam, pool_size=256, block_rays=128)
+    n_pix = cam.num_pixels
+    with pltpu.force_tpu_interpret_mode():
+        sharded = np.asarray(
+            jax.jit(lambda s, k: render(s, k, spp))(scene, key)
+        )
+
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(
+            wf.render_wavefront_sum_fused(
+                scene, cam, jax.random.fold_in(key, 0), spp,
+                pool_size=min(256, n_pix * spp), block_rays=128,
+                pixel_ids=ids,
+            )
+        )
+    np.testing.assert_array_equal(sharded, want)
+
+
+def test_tape_dp_tracer_mega_exact_match_and_grads():
+    """The PRODUCTION fwd+bwd kernels on the mesh: make_tape_dp_tracer with
+    use_mega + mega_bwd (both directions single Pallas programs per device
+    shard) must exactly match per-shard single-device runs — colors
+    bit-identical, scene gradients summing to the shard-local grads (the
+    shard_map transpose psum)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+    from distributed_raytracer_tpu.parallel import make_tape_dp_tracer
+
+    scene, cam = scene_and_cam()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    r = 64 * n_dev
+    ids = jnp.arange(r, dtype=jnp.int32)
+    o, d = generate_rays(
+        cam, jax.random.PRNGKey(5), ids % cam.image_width,
+        (ids // cam.image_width) % cam.image_height,
+    )
+    key = jax.random.PRNGKey(9)
+    depth, pool = 4, 128
+    kw = dict(use_mega=True, mega_bwd=True, block_rays=128, segsum="matmul")
+
+    dp = make_tape_dp_tracer(mesh, key, depth, pool=pool, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        colors_dp = np.asarray(jax.jit(dp)(scene, o, d))
+
+    local = make_tape_tracer(key, depth, pool=pool, **kw)
+    shard = r // n_dev
+    with pltpu.force_tpu_interpret_mode():
+        parts = [
+            np.asarray(
+                local(scene, o[i * shard:(i + 1) * shard],
+                      d[i * shard:(i + 1) * shard], jax.random.fold_in(key, i))
+            )
+            for i in range(n_dev)
+        ]
+    np.testing.assert_array_equal(colors_dp, np.concatenate(parts))
+
+    fields = ("centers", "radii", "albedo", "fuzz", "ior")
+    with pltpu.force_tpu_interpret_mode():
+        g_dp = jax.jit(
+            jax.grad(lambda s: jnp.sum(dp(s, o, d) ** 2), allow_int=True)
+        )(scene)
+        g_ref = {f: 0.0 for f in fields}
+        for i in range(n_dev):
+            gi = jax.grad(
+                lambda s: jnp.sum(
+                    local(s, o[i * shard:(i + 1) * shard],
+                          d[i * shard:(i + 1) * shard],
+                          jax.random.fold_in(key, i)) ** 2
+                ),
+                allow_int=True,
+            )(scene)
+            for f in fields:
+                g_ref[f] = g_ref[f] + np.asarray(getattr(gi, f))
+    for name in fields:
+        a, b = np.asarray(getattr(g_dp, name)), g_ref[name]
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)
