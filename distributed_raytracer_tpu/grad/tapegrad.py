@@ -373,16 +373,64 @@ def _forward_tape_mega(
         scene, ray_o, ray_d, seed, max_depth, pool=b,
         budget=(budget or 0), block_rays=block_rays, pad_rows=pad_rows,
     )
-    t_budget = out.fplanes[0].shape[0]
-    # one bulk stack into the packed layouts the backward consumes (rows
-    # beyond n_it are uninitialized memory — never read: the backward
-    # walks n_it..1 and pos only points below n_it*b)
-    fdata = jnp.stack([p[:, 0, :] for p in out.fplanes], axis=-1)
-    idata = jnp.stack([p[:, 0, :] for p in out.iplanes], axis=-1)
+    t_budget = out.tape_f.shape[0]
+    # one bulk transpose into the packed layouts the XLA backward consumes
+    # (rows beyond n_it are uninitialized memory — never read: the backward
+    # walks n_it..1 and pos only points below n_it*b).  The kernel's packed
+    # [T, 16, B] sublane order IS the _Tape column order.
+    fdata = out.tape_f.transpose(0, 2, 1)
+    idata = out.tape_i[:, :3, :].transpose(0, 2, 1)
     tape = _Tape(fdata=fdata, idata=idata)
     pos = out.pos_cb.reshape(-1)[:r]
     # budget overflow is LOUD (same contract as _forward_tape): clean=0
     # means rays were left unfinished at the budget cap
+    truncated = out.clean == 0
+    flat_contrib = fdata[:, :, 13:16].reshape(t_budget * b, 3)
+    flat_contrib = jnp.where(truncated, jnp.nan, flat_contrib)
+    color = jnp.where(
+        (pos >= 0)[:, None],
+        flat_contrib[jnp.clip(pos, 0, t_budget * b - 1)],
+        0.0,
+    )
+    return color, tape, out.n_it, pos
+
+
+def _forward_tape_camera_raw(
+    scene: Scene,
+    camera,
+    pixel_ids: jnp.ndarray,
+    key: jax.Array,
+    pool: int = 2048,
+    budget: Optional[int] = None,
+    block_rays: int = 512,
+    pad_rows: int = 2,
+):
+    """Camera-mode recording forward (mega_forward_camera) unpacked into
+    the (color, _Tape, n_it, pos) contract — the oracle/test entry for
+    make_tape_camera_tracer (replay with rays_from_tape=True)."""
+    from distributed_raytracer_tpu.ops.pallas.mega_kernel import (
+        mega_forward_camera,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        camera_scalar_row,
+    )
+
+    r = pixel_ids.shape[0]
+    b = min(pool, -(-r // 128) * 128)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    cam_seed = jax.random.randint(
+        jax.random.fold_in(key, 0xCA3), (), 0, 2**31 - 1, dtype=jnp.int32
+    )
+    out = mega_forward_camera(
+        scene, pixel_ids, seed, cam_seed, camera_scalar_row(camera),
+        camera.image_width, camera.max_depth, pool=b, budget=(budget or 0),
+        block_rays=block_rays, pad_rows=pad_rows,
+    )
+    t_budget = out.tape_f.shape[0]
+    fdata = out.tape_f.transpose(0, 2, 1)
+    idata = out.tape_i[:, :3, :].transpose(0, 2, 1)
+    tape = _Tape(fdata=fdata, idata=idata)
+    pos = out.pos_cb.reshape(-1)[:r]
     truncated = out.clean == 0
     flat_contrib = fdata[:, :, 13:16].reshape(t_budget * b, 3)
     flat_contrib = jnp.where(truncated, jnp.nan, flat_contrib)
@@ -620,10 +668,17 @@ def _backward_tape(
     return d_scene, g_o, g_d
 
 
-def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int):
+def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int,
+                     rays_from_tape: bool = False):
     """Pure-JAX re-execution of a recorded run with the control flow
     (take/idx/hit/live/finished) and draws frozen — differentiable by
-    jax.grad; the ORACLE for `_backward_tape` (exact-match test)."""
+    jax.grad; the ORACLE for `_backward_tape` (exact-match test).
+
+    rays_from_tape=True: take rows use the RECORDED post-refill o/d
+    instead of re-reading ray_o/ray_d — the camera-mode tapes
+    (mega_forward_camera) generate primary rays in-kernel, so there are
+    no ray inputs to re-read (pass anything [R, 3]-shaped; only its
+    leading dim is used)."""
     r = ray_o.shape[0]
     b = tape.fdata.shape[1]
 
@@ -631,9 +686,13 @@ def replay_from_tape(scene: Scene, ray_o, ray_d, tape: _Tape, n_iters: int):
         o, d, atten, out = carry
         rec = _unpack_rec(*packed)
         tk = rec.take[:, None]
-        nr = jnp.clip(rec.lane_ray, 0, r - 1)
-        o = jnp.where(tk, ray_o[nr], o)
-        d = jnp.where(tk, ray_d[nr], d)
+        if rays_from_tape:
+            o = jnp.where(tk, rec.o, o)
+            d = jnp.where(tk, rec.d, d)
+        else:
+            nr = jnp.clip(rec.lane_ray, 0, r - 1)
+            o = jnp.where(tk, ray_o[nr], o)
+            d = jnp.where(tk, ray_d[nr], d)
         atten = jnp.where(tk, 1.0, atten)
         params = _gather_params(scene, rec.idx, rec.hit)
         o2, d2, atten2, contrib = _local_f(
@@ -687,10 +746,11 @@ def _make_mega_bwd_tracer(
             scene, ray_o, ray_d, seed, max_depth, pool=b,
             budget=(budget or 0), block_rays=block_rays, pad_rows=mega_pad,
         )
-        t_budget = out.fplanes[0].shape[0]
+        t_budget = out.tape_f.shape[0]
         pos = out.pos_cb.reshape(-1)[:r]
         truncated = out.clean == 0
-        flat = jnp.stack([p.reshape(-1) for p in out.fplanes[13:16]], axis=-1)
+        # contrib sublanes 13:16 of the packed tape, flattened tape-major
+        flat = out.tape_f[:, 13:16, :].transpose(0, 2, 1).reshape(-1, 3)
         flat = jnp.where(truncated, jnp.nan, flat)
         color = jnp.where(
             (pos >= 0)[:, None],
@@ -715,8 +775,9 @@ def _make_mega_bwd_tracer(
         # attr planes recomputed from the scene residual (cheap elementwise
         # vs carrying another [48, m] residual)
         _, attrs = scene_sweep_arrays(scene, m)
-        g_pm, do_rows, dd_rows = mega_backward(
-            out.fplanes, out.iplanes, out.n_it, g_color, attrs, n=n
+        g_pm, dd_rows = mega_backward(
+            out.tape_f, out.tape_i, out.n_it, g_color, attrs, n=n,
+            ray_grads=ray_grads,
         )
         d_scene = Scene(
             centers=g_pm[:n, 0:3],
@@ -728,19 +789,19 @@ def _make_mega_bwd_tracer(
         )
         r = g_color.shape[0]
         if ray_grads:
-            tb = out.fplanes[0].shape[0]
-            b = out.fplanes[0].shape[2]
+            tb, _, b = out.tape_f.shape
             rpos = out.rpos_cb.reshape(-1)[:r]
 
-            def gather3(rows):
-                flat = jnp.stack([p.reshape(-1) for p in rows], axis=-1)
+            def gather3(lo):
+                # dd_rows [T, 8, B]: sublanes lo:lo+3, flattened tape-major
+                flat = dd_rows[:, lo:lo + 3, :].transpose(0, 2, 1).reshape(-1, 3)
                 return jnp.where(
                     (rpos >= 0)[:, None],
                     flat[jnp.clip(rpos, 0, tb * b - 1)],
                     0.0,
                 )
 
-            g_o, g_d = gather3(do_rows), gather3(dd_rows)
+            g_o, g_d = gather3(0), gather3(3)
         else:
             g_o = jnp.zeros((r, 3), g_color.dtype)
             g_d = jnp.zeros((r, 3), g_color.dtype)
@@ -753,6 +814,107 @@ def _make_mega_bwd_tracer(
 
     def traced(scene, ray_o, ray_d, k=None):
         return traced_k(scene, ray_o, ray_d, key if k is None else k)
+
+    return traced
+
+
+def make_tape_camera_tracer(
+    key: jax.Array,
+    camera,
+    max_depth: Optional[int] = None,
+    pool: int = 2048,
+    budget: Optional[int] = None,
+    block_rays: int = 512,
+    mega_pad: int = 2,
+):
+    """PRODUCTION fwd+bwd tracer with camera-mode primary rays: f(scene,
+    pixel_ids [R] i32, k=None) -> colors [R, 3], scene-differentiable.
+
+    Both directions are single Pallas programs (mega_forward_camera +
+    mega_backward ray_grads=False); primary rays are generated IN-KERNEL
+    from pixel ids + 24 SMEM camera scalars with (ray, cam_seed)-keyed
+    hash jitter/defocus draws — no host-side ray pregen, no [C, B] x 6
+    ray table (VERDICT r3 item 3).  The camera itself and the rays are
+    NOT differentiated (the scene-optimization production shape; camera
+    pose gradients live in grad/diff_render.py)."""
+    import numpy as _np
+
+    from distributed_raytracer_tpu.ops.camera import Camera
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import _auto_chunk
+    from distributed_raytracer_tpu.ops.pallas.mega_bwd_kernel import (
+        mega_backward,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_kernel import (
+        mega_forward_camera,
+        scene_sweep_arrays,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        camera_scalar_row,
+    )
+
+    assert isinstance(camera, Camera)
+    depth = max_depth if max_depth is not None else camera.max_depth
+    w = camera.image_width
+    cam_row = camera_scalar_row(camera)
+
+    def run_fwd_raw(scene, pixel_ids, k):
+        r = pixel_ids.shape[0]
+        b = min(pool, -(-r // 128) * 128)
+        seed = jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+        cam_seed = jax.random.randint(
+            jax.random.fold_in(k, 0xCA3), (), 0, 2**31 - 1, dtype=jnp.int32
+        )
+        out = mega_forward_camera(
+            scene, pixel_ids, seed, cam_seed, cam_row, w, depth, pool=b,
+            budget=(budget or 0), block_rays=block_rays, pad_rows=mega_pad,
+        )
+        t_budget = out.tape_f.shape[0]
+        pos = out.pos_cb.reshape(-1)[:r]
+        truncated = out.clean == 0
+        flat = out.tape_f[:, 13:16, :].transpose(0, 2, 1).reshape(-1, 3)
+        flat = jnp.where(truncated, jnp.nan, flat)
+        color = jnp.where(
+            (pos >= 0)[:, None],
+            flat[jnp.clip(pos, 0, t_budget * b - 1)],
+            0.0,
+        )
+        return color, out
+
+    @jax.custom_vjp
+    def traced_k(scene, pixel_ids, k):
+        color, _ = run_fwd_raw(scene, pixel_ids, k)
+        return color
+
+    def traced_fwd(scene, pixel_ids, k):
+        color, out = run_fwd_raw(scene, pixel_ids, k)
+        return color, (scene, out)
+
+    def traced_bwd(res, g_color):
+        scene, out = res
+        n = scene.num_spheres
+        m = _auto_chunk(n)
+        _, attrs = scene_sweep_arrays(scene, m)
+        g_pm, _ = mega_backward(
+            out.tape_f, out.tape_i, out.n_it, g_color, attrs, n=n,
+            ray_grads=False,
+        )
+        d_scene = Scene(
+            centers=g_pm[:n, 0:3],
+            radii=g_pm[:n, 3],
+            albedo=g_pm[:n, 4:7],
+            mat_type=jnp.zeros_like(scene.mat_type),
+            fuzz=g_pm[:n, 7],
+            ior=g_pm[:n, 8],
+        )
+        d_ids = _np.zeros(res[1].pos_cb.shape[0] * res[1].pos_cb.shape[1],
+                          dtype=jax.dtypes.float0)[: g_color.shape[0]]
+        d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)
+        return d_scene, d_ids, d_k
+
+    traced_k.defvjp(traced_fwd, traced_bwd)
+
+    def traced(scene, pixel_ids, k=None):
+        return traced_k(scene, pixel_ids, key if k is None else k)
 
     return traced
 

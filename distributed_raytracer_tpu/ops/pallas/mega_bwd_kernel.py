@@ -54,6 +54,16 @@ from distributed_raytracer_tpu.models.scene import (
     TRANSPARENT,
 )
 from distributed_raytracer_tpu.ops.pallas.bounce_kernel import _A_ROWS, LANE
+from distributed_raytracer_tpu.ops.pallas.mega_kernel import (
+    _TF_AT,
+    _TF_D,
+    _TF_O,
+    _TF_RU,
+    _TF_U,
+    _TI_FLG,
+    _TI_IDX,
+    _TI_LRAY,
+)
 
 SKY_WHITE = (1.0, 1.0, 1.0)
 SKY_BLUE = (0.5, 0.7, 1.0)
@@ -204,19 +214,22 @@ def _local_f_rows(
 
 def _mega_bwd_kernel(
     nit_ref,                                            # [1] SMEM (prefetch)
-    tox, toy, toz, tdx, tdy, tdz,                       # [1,1,B] tape o, d
-    tar, tag, tab_,                                     # [1,1,B] atten
-    trx, try_, trz, tu_,                                # [1,1,B] ruv, u
-    tidx, tlray, tflg,                                  # [1,1,B] i32
+    tf,                                                 # (1,16,B) packed tape row
+    ti,                                                 # (1,8,B) packed i32 row
     gtr, gtg, gtb,                                      # [C,B] g_color tables
     attr_ref,                                           # [48,m] bf16
     gpm_out,                                            # [np,32] f32
-    do_x, do_y, do_z, dd_x, dd_y, dd_z,                 # [1,1,B] dense d_o/d_d
-    sco_x, sco_y, sco_z, scd_x, scd_y, scd_z,           # (1,B) carries
-    sca_r, sca_g, sca_b,
-    gpm_s,                                              # (np,32) accumulator
-    *, b: int, n: int, m: int, c_rows: int, np_pad: int,
+    *rest,                                              # [dd_o?] + 10 scratch
+    b: int, n: int, m: int, c_rows: int, np_pad: int,
+    ray_grads: bool,
 ):
+    # outputs/scratch split: the dense primary-cotangent row output only
+    # exists when ray grads are consumed — the production scene-only shape
+    # emits NOTHING per row (the single copy-out is gpm at the last step)
+    if ray_grads:
+        dd_o, *rest = rest
+    (sco_x, sco_y, sco_z, scd_x, scd_y, scd_z,
+     sca_r, sca_g, sca_b, gpm_s) = rest
     i = pl.program_id(0)
     n_it = nit_ref[0]
     i32 = jnp.int32
@@ -231,13 +244,22 @@ def _mega_bwd_kernel(
 
     @pl.when(i < n_it)
     def _row():
-        ox, oy, oz = tox[0], toy[0], toz[0]
-        dx, dy, dz = tdx[0], tdy[0], tdz[0]
-        ar, ag, ab = tar[0], tag[0], tab_[0]
-        rux, ruy, ruz, u = trx[0], try_[0], trz[0], tu_[0]
-        idx = tidx[0]
-        lray = tlray[0]
-        flg = tflg[0]
+        ox, oy, oz = (tf[0, _TF_O + 0:_TF_O + 1, :],
+                      tf[0, _TF_O + 1:_TF_O + 2, :],
+                      tf[0, _TF_O + 2:_TF_O + 3, :])
+        dx, dy, dz = (tf[0, _TF_D + 0:_TF_D + 1, :],
+                      tf[0, _TF_D + 1:_TF_D + 2, :],
+                      tf[0, _TF_D + 2:_TF_D + 3, :])
+        ar, ag, ab = (tf[0, _TF_AT + 0:_TF_AT + 1, :],
+                      tf[0, _TF_AT + 1:_TF_AT + 2, :],
+                      tf[0, _TF_AT + 2:_TF_AT + 3, :])
+        rux = tf[0, _TF_RU + 0:_TF_RU + 1, :]
+        ruy = tf[0, _TF_RU + 1:_TF_RU + 2, :]
+        ruz = tf[0, _TF_RU + 2:_TF_RU + 3, :]
+        u = tf[0, _TF_U:_TF_U + 1, :]
+        idx = ti[0, _TI_IDX:_TI_IDX + 1, :]
+        lray = ti[0, _TI_LRAY:_TI_LRAY + 1, :]
+        flg = ti[0, _TI_FLG:_TI_FLG + 1, :]
         hit = (flg & 1) != 0
         act = (flg & 2) != 0
         take = (flg & 4) != 0
@@ -328,12 +350,13 @@ def _mega_bwd_kernel(
         gpm_s[:] = acc + pad27
 
         # ---- dense primary-cotangent rows + carry cut at refills ----
-        do_x[0] = d_ox
-        do_y[0] = d_oy
-        do_z[0] = d_oz
-        dd_x[0] = d_dx
-        dd_y[0] = d_dy
-        dd_z[0] = d_dz
+        if ray_grads:
+            dd_o[0, 0:1, :] = d_ox
+            dd_o[0, 1:2, :] = d_oy
+            dd_o[0, 2:3, :] = d_oz
+            dd_o[0, 3:4, :] = d_dx
+            dd_o[0, 4:5, :] = d_dy
+            dd_o[0, 5:6, :] = d_dz
         sco_x[:] = jnp.where(take, 0.0, d_ox)
         sco_y[:] = jnp.where(take, 0.0, d_oy)
         sco_z[:] = jnp.where(take, 0.0, d_oz)
@@ -349,27 +372,30 @@ def _mega_bwd_kernel(
         gpm_out[:] = gpm_s[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "ray_grads"))
 def mega_backward(
-    fplanes: tuple,
-    iplanes: tuple,
+    tape_f: jnp.ndarray,
+    tape_i: jnp.ndarray,
     n_it: jnp.ndarray,
     g_color: jnp.ndarray,
     attrs: jnp.ndarray,
     n: int,
+    ray_grads: bool = True,
 ):
     """Run the reverse tape walk as one pallas_call.
 
-    fplanes/iplanes: the mega forward's raw [T, 1, B] outputs (MegaOut).
+    tape_f/tape_i: the mega forward's PACKED [T, 16, B] f32 / [T, 8, B]
+    i32 tape outputs (MegaOut) — one block copy-in per row each instead of
+    round 3's 16 (the per-row DMA issue overhead was the backward's
+    dominant fixed cost, like the forward's copy-outs).
     g_color: [R, 3] color cotangents.  attrs: [48, m] bf16 winner-attr
     planes of the SAME scene the forward swept (scene_sweep_arrays).
-    Returns (g_pm [n+1, 9], d_o_rows [T,1,B] x3, d_d_rows x3) — the caller
-    slices g_pm into a Scene cotangent and gathers d_o/d_d at each ray's
-    refill position when ray grads are wanted."""
-    (tox, toy, toz, tdx, tdy, tdz, tar, tag, tab_,
-     trx, try_, trz, tu_, _cr, _cg, _cb) = fplanes
-    tidx, tlray, tflg = iplanes
-    t_budget, _, b = tox.shape
+    Returns (g_pm [n+1, 9], dd_rows) where dd_rows is the packed
+    [T, 8, B] dense primary-cotangent rows (sublanes 0:3 d_o, 3:6 d_d) —
+    or None with ray_grads=False (the production scene-only shape: the
+    kernel then emits NOTHING per grid step; its single copy-out is the
+    gpm accumulator at the last step)."""
+    t_budget, _, b = tape_f.shape
     m = attrs.shape[1]
     r = g_color.shape[0]
     c_rows = -(-r // b)
@@ -388,37 +414,40 @@ def mega_backward(
     # reverse row streaming: block (n_it-1-i), clamped; steps i >= n_it
     # are masked in-kernel and revisit block 0 without writing
     rev = lambda i, nit: (jnp.maximum(nit[0] - 1 - i, 0), 0, 0)
-    row_spec = pl.BlockSpec((1, 1, b), rev, memory_space=pltpu.VMEM)
+    tf_spec = pl.BlockSpec((1, 16, b), rev, memory_space=pltpu.VMEM)
+    ti_spec = pl.BlockSpec((1, 8, b), rev, memory_space=pltpu.VMEM)
+    dd_spec = pl.BlockSpec((1, 8, b), rev, memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(
         shape, lambda i, nit: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    out_specs = [whole((np_pad, 32))]
+    out_shape = [jax.ShapeDtypeStruct((np_pad, 32), f32)]
+    if ray_grads:
+        out_specs.append(dd_spec)
+        out_shape.append(jax.ShapeDtypeStruct((t_budget, 8, b), f32))
     outs = pl.pallas_call(
         functools.partial(
             _mega_bwd_kernel, b=b, n=n, m=m, c_rows=c_rows, np_pad=np_pad,
+            ray_grads=ray_grads,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(t_budget,),
-            in_specs=[row_spec] * 13
-            + [row_spec] * 3
+            in_specs=[tf_spec, ti_spec]
             + [whole((c_rows, b))] * 3
             + [whole((3 * _A_ROWS, m))],
-            out_specs=[whole((np_pad, 32))] + [row_spec] * 6,
+            out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((1, b), f32)] * 9
             + [pltpu.VMEM((np_pad, 32), f32)],
         ),
-        out_shape=(
-            [jax.ShapeDtypeStruct((np_pad, 32), f32)]
-            + [jax.ShapeDtypeStruct((t_budget, 1, b), f32)] * 6
-        ),
+        out_shape=out_shape,
     )(
         n_it.reshape(1).astype(i32),
-        tox, toy, toz, tdx, tdy, tdz, tar, tag, tab_,
-        trx, try_, trz, tu_,
-        tidx, tlray, tflg,
+        tape_f, tape_i,
         gtr, gtg, gtb, attrs,
     )
-    gpm_raw, do_x, do_y, do_z, dd_x, dd_y, dd_z = outs
+    gpm_raw = outs[0]
+    dd_rows = outs[1] if ray_grads else None
     # hi/mid/lo plane groups summed once (the in-kernel accumulator keeps
     # them separate to avoid lane-sliced adds per row)
     g_pm = (
@@ -426,4 +455,4 @@ def mega_backward(
         + gpm_raw[: n + 1, 9:18]
         + gpm_raw[: n + 1, 18:27]
     )
-    return g_pm, (do_x, do_y, do_z), (dd_x, dd_y, dd_z)
+    return g_pm, dd_rows

@@ -66,10 +66,19 @@ from distributed_raytracer_tpu.ops.pallas.bounce_kernel import (
 
 
 class MegaOut(NamedTuple):
-    """Raw kernel outputs (planar tape rows + dense pos + meta)."""
+    """Raw kernel outputs (PACKED tape rows + dense pos + meta).
 
-    fplanes: tuple      # 16 x [T, 1, B] f32: o3 d3 atten3 ruv3 u contrib3
-    iplanes: tuple      # 3 x [T, 1, B] i32: idx, lane_ray, flags
+    Round-4 repack: the round-3 kernel emitted 19 separate [T, 1, B] row
+    planes — 19 block copy-outs per grid step; the per-step DMA issue
+    overhead (not the bytes) was the dominant fixed cost of a tape row
+    (16.6 us/row vs the 3-output render kernel's 5.6 us/row at the same
+    sweep+shade work).  Packing the 16 f32 planes into ONE [T, 16, B]
+    output (sublane = plane — the same tiling bytes) and the 3 i32 planes
+    into ONE [T, 8, B] cuts a row's copy-outs from 19 to 2.
+    """
+
+    tape_f: jnp.ndarray  # [T, 16, B] f32, sublanes: o3 d3 atten3 ruv3 u contrib3
+    tape_i: jnp.ndarray  # [T, 8, B] i32, sublanes: idx lane_ray flags (5 pad)
     pos_cb: jnp.ndarray  # [C, B] i32 flat tape finish position, -1 = none
     rpos_cb: jnp.ndarray  # [C, B] i32 flat tape REFILL position, -1 = none
     # (ray c*B+lane was taken at row rpos//B, lane rpos%B — where the
@@ -78,28 +87,46 @@ class MegaOut(NamedTuple):
     clean: jnp.ndarray   # scalar i32: 1 = all rays accounted (no truncation)
 
 
+# tape_f sublane indices (matches grad/tapegrad._Tape's fdata column order)
+_TF_O, _TF_D, _TF_AT, _TF_RU, _TF_U, _TF_CO = 0, 3, 6, 9, 12, 13
+# tape_i sublane indices
+_TI_IDX, _TI_LRAY, _TI_FLG = 0, 1, 2
+
+
 def _mega_kernel(
-    seed_ref,                                   # (1,1) SMEM
-    tox, toy, toz, tdx, tdy, tdz,               # [C, B] VMEM ray table
-    cx_ref, cy_ref, cz_ref, r2_ref,             # [m, 1] VMEM sweep columns
-    attr_ref,                                   # [48, m] VMEM bf16 planes
-    # --- outputs ---
-    o_x, o_y, o_z, d_x, d_y, d_z,               # [1,1,B] blocks (tape rows)
-    a_r, a_g, a_b, r_x, r_y, r_z, u_o,
-    c_r, c_g, c_b,
-    idx_o, lray_o, flg_o,                       # [1,1,B] i32
-    pos_o,                                      # [C, B] i32 (constant block)
-    rpos_o,                                     # [C, B] i32 refill positions
-    meta_o,                                     # (1,2) SMEM i32: n_it, clean
-    # --- scratch (pool state persisting across grid steps) ---
-    sox, soy, soz, sdx, sdy, sdz,               # (1,B) f32
-    sar, sag, sab,                              # (1,B) f32
-    scur, snext, sdepth, slive, sfin,           # (1,B) i32
-    rbx, rby, rbz, rcx, rcy, rcz,               # (1,BR) f32 rebase buffers
-    done_s,                                     # (1,1) SMEM i32
-    *, r: int, b: int, br: int, c_rows: int, max_depth: int,
-    pad_rows: int,
+    scal_ref,                                   # (1,4) SMEM i32: seed cam_seed
+    *refs,
+    r: int, b: int, br: int, c_rows: int, max_depth: int,
+    pad_rows: int, camera_mode: bool = False, w: int = 0,
 ):
+    """Body shared by the ray-table and camera modes.
+
+    ray mode operands: 6 x [C, B] ray tables then scene.
+    camera mode (round 4): a (1, 24) SMEM camera-scalar row + ONE [C, B]
+    i32 pixel-id table replace the 6 f32 ray tables — the primary ray is
+    generated IN-KERNEL at refill (mega_render_kernel.camera_ray_rows,
+    camera.rs:238-251), freeing 5 [C, B] planes of VMEM and 5/6 of the
+    refill's one-hot fetch work.  Camera-jitter draws are keyed by
+    (ray index, cam_seed) hash; bounce draws unchanged.
+    """
+    if camera_mode:
+        (cam_ref, pix_tab,
+         cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
+         tf_o, ti_o, pos_o, rpos_o, meta_o,
+         sox, soy, soz, sdx, sdy, sdz,
+         sar, sag, sab,
+         scur, snext, sdepth, slive, sfin,
+         rbx, rby, rbz, rcx, rcy, rcz,
+         done_s) = refs
+    else:
+        (tox, toy, toz, tdx, tdy, tdz,
+         cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
+         tf_o, ti_o, pos_o, rpos_o, meta_o,
+         sox, soy, soz, sdx, sdy, sdz,
+         sar, sag, sab,
+         scur, snext, sdepth, slive, sfin,
+         rbx, rby, rbz, rcx, rcy, rcz,
+         done_s) = refs
     it = pl.program_id(0)
     i32 = jnp.int32
 
@@ -132,18 +159,36 @@ def _mega_kernel(
         @pl.when(n_take > 0)
         def _refill():
             rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
-            sel = (rows_i == cnext).astype(jnp.float32)  # (C, B) one-hot
             tk = take
 
-            def fetch(tab):
-                return jnp.sum(sel * tab[:], axis=0, keepdims=True)
+            if camera_mode:
+                from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+                    camera_ray_rows,
+                )
 
-            sox[:] = jnp.where(tk, fetch(tox), sox[:])
-            soy[:] = jnp.where(tk, fetch(toy), soy[:])
-            soz[:] = jnp.where(tk, fetch(toz), soz[:])
-            sdx[:] = jnp.where(tk, fetch(tdx), sdx[:])
-            sdy[:] = jnp.where(tk, fetch(tdy), sdy[:])
-            sdz[:] = jnp.where(tk, fetch(tdz), sdz[:])
+                pix = jnp.sum(
+                    jnp.where(rows_i == cnext, pix_tab[:], 0),
+                    axis=0, keepdims=True,
+                )
+                rid = cnext * b + lane  # ray index keys the camera draws
+                nox_r, noy_r, noz_r, ndx_r, ndy_r, ndz_r = camera_ray_rows(
+                    cam_ref, pix, rid, scal_ref[0, 1], w
+                )
+            else:
+                sel = (rows_i == cnext).astype(jnp.float32)  # (C, B) one-hot
+
+                def fetch(tab):
+                    return jnp.sum(sel * tab[:], axis=0, keepdims=True)
+
+                nox_r, noy_r, noz_r = fetch(tox), fetch(toy), fetch(toz)
+                ndx_r, ndy_r, ndz_r = fetch(tdx), fetch(tdy), fetch(tdz)
+
+            sox[:] = jnp.where(tk, nox_r, sox[:])
+            soy[:] = jnp.where(tk, noy_r, soy[:])
+            soz[:] = jnp.where(tk, noz_r, soz[:])
+            sdx[:] = jnp.where(tk, ndx_r, sdx[:])
+            sdy[:] = jnp.where(tk, ndy_r, sdy[:])
+            sdz[:] = jnp.where(tk, ndz_r, sdz[:])
             sar[:] = jnp.where(tk, 1.0, sar[:])
             sag[:] = jnp.where(tk, 1.0, sag[:])
             sab[:] = jnp.where(tk, 1.0, sab[:])
@@ -164,17 +209,18 @@ def _mega_kernel(
         c_cur = scur[:]
         lane_ray = c_cur * b + lane
 
-        # --- tape row: PRE-bounce state (matches _forward_tape's record) ---
-        o_x[0] = ox
-        o_y[0] = oy
-        o_z[0] = oz
-        d_x[0] = dx
-        d_y[0] = dy
-        d_z[0] = dz
-        a_r[0] = ar
-        a_g[0] = ag
-        a_b[0] = ab
-        lray_o[0] = lane_ray
+        # --- tape row: PRE-bounce state (matches _forward_tape's record),
+        # written as sublane rows of the single packed block ---
+        tf_o[0, _TF_O + 0:_TF_O + 1, :] = ox
+        tf_o[0, _TF_O + 1:_TF_O + 2, :] = oy
+        tf_o[0, _TF_O + 2:_TF_O + 3, :] = oz
+        tf_o[0, _TF_D + 0:_TF_D + 1, :] = dx
+        tf_o[0, _TF_D + 1:_TF_D + 2, :] = dy
+        tf_o[0, _TF_D + 2:_TF_D + 3, :] = dz
+        tf_o[0, _TF_AT + 0:_TF_AT + 1, :] = ar
+        tf_o[0, _TF_AT + 1:_TF_AT + 2, :] = ag
+        tf_o[0, _TF_AT + 2:_TF_AT + 3, :] = ab
+        ti_o[0, _TI_LRAY:_TI_LRAY + 1, :] = lane_ray
 
         # --- one fused bounce, sub-block by sub-block ---
         for sb in range(b // br):
@@ -200,7 +246,7 @@ def _mega_kernel(
                 oxs, oys, ozs, dxs, dys, dzs, a_s, inv_s,
                 cx_ref[:], cy_ref[:], cz_ref[:], r2_ref[:], attr_ref[:],
             )
-            pltpu.prng_seed(seed_ref[0, 0] + it * jnp.int32(65537) + sb)
+            pltpu.prng_seed(scal_ref[0, 0] + it * jnp.int32(65537) + sb)
             (nox, noy, noz, ndx, ndy, ndz, atr, atg, atb,
              cor, cog, cob, fin_row, idx_row,
              rux, ruy, ruz, u_ch) = _shade_vals(
@@ -209,16 +255,16 @@ def _mega_kernel(
             hit_row = ((t_c < BIG * 0.5) & act).astype(i32)
 
             # draws + results onto the tape (contrib = atten * color)
-            r_x[0, :, sl] = rux
-            r_y[0, :, sl] = ruy
-            r_z[0, :, sl] = ruz
-            u_o[0, :, sl] = u_ch
-            idx_o[0, :, sl] = idx_row
-            c_r[0, :, sl] = ar[:, sl] * cor
-            c_g[0, :, sl] = ag[:, sl] * cog
-            c_b[0, :, sl] = ab[:, sl] * cob
+            tf_o[0, _TF_RU + 0:_TF_RU + 1, sl] = rux
+            tf_o[0, _TF_RU + 1:_TF_RU + 2, sl] = ruy
+            tf_o[0, _TF_RU + 2:_TF_RU + 3, sl] = ruz
+            tf_o[0, _TF_U:_TF_U + 1, sl] = u_ch
+            ti_o[0, _TI_IDX:_TI_IDX + 1, sl] = idx_row
+            tf_o[0, _TF_CO + 0:_TF_CO + 1, sl] = ar[:, sl] * cor
+            tf_o[0, _TF_CO + 1:_TF_CO + 2, sl] = ag[:, sl] * cog
+            tf_o[0, _TF_CO + 2:_TF_CO + 3, sl] = ab[:, sl] * cob
             fin_b = (fin_row > 0) & act
-            flg_o[0, :, sl] = (
+            ti_o[0, _TI_FLG:_TI_FLG + 1, sl] = (
                 hit_row
                 | (act.astype(i32) << 1)
                 | (take[:, sl].astype(i32) << 2)
@@ -373,34 +419,115 @@ def mega_forward(
         tab(ray_o[:, 0], 0.0), tab(ray_o[:, 1], 0.0), tab(ray_o[:, 2], 0.0),
         tab(ray_d[:, 0], 1.0), tab(ray_d[:, 1], 1.0), tab(ray_d[:, 2], 1.0),
     ]
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    scal = jnp.stack(
+        [jnp.asarray(seed, jnp.int32)] + [jnp.zeros((), jnp.int32)] * 3
+    ).reshape(1, 4)
+    return _mega_call(
+        scal, tables, [whole((c_rows, b))] * 6, scene_cols, attrs,
+        r=r, b=b, br=br, c_rows=c_rows, max_depth=max_depth,
+        pad_rows=pad_rows, t_budget=t_budget, m=m,
+        camera_mode=False, w=0,
+    )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "max_depth", "pool", "budget", "block_rays",
+                     "pad_rows"),
+)
+def mega_forward_camera(
+    scene: Scene,
+    pixel_ids: jnp.ndarray,
+    seed: jnp.ndarray,
+    cam_seed: jnp.ndarray,
+    cam_row: jnp.ndarray,
+    w: int,
+    max_depth: int,
+    pool: int = 2048,
+    budget: int = 0,
+    block_rays: int = 512,
+    pad_rows: int = 2,
+) -> MegaOut:
+    """Camera-mode recording forward: primary rays are generated IN-KERNEL
+    from pixel ids + 24 SMEM camera scalars at refill (the mega render
+    kernel's move back-ported to the tape path, VERDICT r3 item 3) — the
+    [C, B] x 6 f32 VMEM ray table becomes ONE i32 pixel-id table and the
+    host-side ray pregen disappears from the fwd+bwd pipeline.
+
+    pixel_ids: [R] i32 flat pixel indices (any order/striding).  cam_row:
+    camera_scalar_row(camera).  cam_seed keys the jitter/defocus hash
+    draws per RAY INDEX (hash (ray, cam_seed, 8..11)).  Ray gradients do
+    not exist in this mode (rays are not inputs); use mega_backward
+    ray_grads=False."""
+    r = pixel_ids.shape[0]
+    b = pool
+    if b % LANE:
+        raise ValueError(f"pool must be a multiple of {LANE}")
+    br = min(block_rays, b)
+    if b % br:
+        raise ValueError(f"pool {b} not a multiple of block_rays {br}")
+    c_rows = -(-r // b)
+    t_budget = budget or mega_budget(r, max_depth, b, pad_rows)
+    if t_budget % pad_rows:
+        raise ValueError(f"budget {t_budget} % pad_rows {pad_rows} != 0")
+    m = _auto_chunk(scene.num_spheres)
+    if m < -(-scene.num_spheres // LANE) * LANE:
+        raise ValueError(
+            f"mega kernel sweeps one chunk: scene {scene.num_spheres} "
+            f"exceeds chunk {m}")
+    scene_cols, attrs = scene_sweep_arrays(scene, m)
+
+    pad_n = c_rows * b - r
+    pix_tab = jnp.pad(pixel_ids.astype(jnp.int32), (0, pad_n)).reshape(
+        c_rows, b
+    )
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    scal = jnp.stack(
+        [jnp.asarray(seed, jnp.int32), jnp.asarray(cam_seed, jnp.int32)]
+        + [jnp.zeros((), jnp.int32)] * 2
+    ).reshape(1, 4)
+    cam_spec = pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return _mega_call(
+        scal, [cam_row, pix_tab], [cam_spec, whole((c_rows, b))],
+        scene_cols, attrs,
+        r=r, b=b, br=br, c_rows=c_rows, max_depth=max_depth,
+        pad_rows=pad_rows, t_budget=t_budget, m=m,
+        camera_mode=True, w=w,
+    )
+
+
+def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
+               r, b, br, c_rows, max_depth, pad_rows, t_budget, m,
+               camera_mode, w):
+    """Shared pallas_call construction for both mega-forward modes."""
     f32, i32 = jnp.float32, jnp.int32
-    row_spec = pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     out_specs = (
-        [row_spec] * 19
+        [pl.BlockSpec((1, 16, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+         pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
         + [whole((c_rows, b))] * 2
         + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((t_budget, 1, b), f32)] * 16
-        + [jax.ShapeDtypeStruct((t_budget, 1, b), i32)] * 3
+        [jax.ShapeDtypeStruct((t_budget, 16, b), f32),
+         jax.ShapeDtypeStruct((t_budget, 8, b), i32)]
         + [jax.ShapeDtypeStruct((c_rows, b), i32)] * 2
         + [jax.ShapeDtypeStruct((1, 2), i32)]
     )
-    # output order: o3 d3 atten3 (f32) ... then the i32 rows; the kernel
-    # signature orders f32 rows first, matching out_specs/out_shape above
     outs = pl.pallas_call(
         functools.partial(
             _mega_kernel, r=r, b=b, br=br, c_rows=c_rows,
             max_depth=max_depth, pad_rows=pad_rows,
+            camera_mode=camera_mode, w=w,
         ),
         grid=(t_budget,),
-        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)]
-        + [whole((c_rows, b))] * 6
+        + mode_specs
         + [whole((m, 1))] * 4
         + [whole((3 * _A_ROWS, m))],
         out_specs=out_specs,
@@ -411,15 +538,11 @@ def mega_forward(
             + [pltpu.VMEM((1, br), f32)] * 6
             + [pltpu.SMEM((1, 1), i32)]
         ),
-    )(
-        jnp.asarray(seed, i32).reshape(1, 1), *tables, *scene_cols, attrs
-    )
-    (ox, oy, oz, dx, dy, dz, ar, ag, ab, rx, ry, rz, uo,
-     cr, cg, cb, idx, lray, flg, pos_cb, rpos_cb, meta) = outs
+    )(scal, *mode_inputs, *scene_cols, attrs)
+    tape_f, tape_i, pos_cb, rpos_cb, meta = outs
     return MegaOut(
-        fplanes=(ox, oy, oz, dx, dy, dz, ar, ag, ab, rx, ry, rz, uo,
-                 cr, cg, cb),
-        iplanes=(idx, lray, flg),
+        tape_f=tape_f,
+        tape_i=tape_i,
         pos_cb=pos_cb,
         rpos_cb=rpos_cb,
         n_it=meta[0, 0],

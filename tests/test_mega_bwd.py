@@ -64,15 +64,16 @@ def _mega_bwd_grads(scene, o, d, tape, n_it, g_color, pool=128):
         scene_sweep_arrays,
     )
 
-    fplanes = tuple(tape.fdata[:, None, :, c] for c in range(16))
-    iplanes = tuple(tape.idata[:, None, :, c] for c in range(3))
+    tape_f = tape.fdata.transpose(0, 2, 1)  # [T, 16, B] packed sublanes
+    ti3 = tape.idata.transpose(0, 2, 1)     # [T, 3, B]
+    tape_i = jnp.pad(ti3, ((0, 0), (0, 5), (0, 0)))  # pad sublanes to 8
     _, attrs = scene_sweep_arrays(scene, _auto_chunk(scene.num_spheres))
     with pltpu.force_tpu_interpret_mode():
-        g_pm, do_rows, dd_rows = mega_backward(
-            fplanes, iplanes, jnp.asarray(n_it, jnp.int32), g_color, attrs,
+        g_pm, dd_rows = mega_backward(
+            tape_f, tape_i, jnp.asarray(n_it, jnp.int32), g_color, attrs,
             n=scene.num_spheres,
         )
-    return jax.block_until_ready((g_pm, do_rows, dd_rows))
+    return jax.block_until_ready((g_pm, dd_rows))
 
 
 def test_scene_grads_match_replay_oracle(setup):
@@ -81,7 +82,7 @@ def test_scene_grads_match_replay_oracle(setup):
     g_color = jnp.asarray(
         np.random.default_rng(3).normal(size=(r, 3)), jnp.float32
     )
-    g_pm, _, _ = _mega_bwd_grads(scene, o, d, tape, n_it, g_color)
+    g_pm, _ = _mega_bwd_grads(scene, o, d, tape, n_it, g_color)
 
     def replay_loss(s):
         out = replay_from_tape(s, o, d, tape, n_it)
@@ -107,7 +108,7 @@ def test_matches_xla_backward(setup):
     scene, cam, o, d, key, color, tape, n_it, pos = setup
     r = o.shape[0]
     g_color = jnp.ones((r, 3), jnp.float32)
-    g_pm, do_rows, dd_rows = _mega_bwd_grads(scene, o, d, tape, n_it, g_color)
+    g_pm, dd_rows = _mega_bwd_grads(scene, o, d, tape, n_it, g_color)
     d_scene, g_o, g_d = _backward_tape(
         scene, tape, jnp.asarray(n_it, jnp.int32), pos, g_color,
         segsum="scatter",
