@@ -82,14 +82,15 @@ def _resolve_engine(args, jax):
     deprecated --wavefront/--pallas flags map onto the engine names."""
     engine = args.engine
     if args.accel == "culled":
-        # culled works on BOTH wavefront (block-culled intersect) and
-        # fused (the culled fused bounce — walk + shade in one kernel)
+        # culled works on wavefront (block-culled intersect), fused (the
+        # culled fused bounce — walk + shade in one kernel), and mega (the
+        # mega WALK kernel: the walk inside the whole-render program)
         if engine == "auto":
             if args.wavefront:
                 return "wavefront"
             on_tpu = jax.devices()[0].platform != "cpu"
-            return "fused" if on_tpu else "wavefront"
-        if engine not in ("wavefront", "fused"):
+            return "mega" if on_tpu else "wavefront"
+        if engine not in ("wavefront", "fused", "mega"):
             print(
                 f"[cli] --accel culled requires a wavefront engine; "
                 f"overriding --engine {engine}",
@@ -150,12 +151,12 @@ def cmd_render(args):
             make_culled_intersect,
         )
 
-        culled = build_culled_scene(scene)
+        culled = build_culled_scene(scene, chunk=256 if engine == "mega" else 128)
         scene = culled.scene  # reordered so material gathers line up
-        if engine != "fused":
+        if engine not in ("fused", "mega"):
             # wavefront engine: culled block-culled intersect_fn; the
-            # fused engine instead takes the CulledScene itself (the
-            # walk runs INSIDE the fused bounce kernel)
+            # fused/mega engines instead take the CulledScene itself (the
+            # walk runs INSIDE the bounce kernel / the mega row body)
             intersect_fn = make_culled_intersect(culled)
             culled = None
 

@@ -1,0 +1,582 @@
+"""Multi-chunk MEGA RENDER kernel: the whole-render mega program with an
+in-kernel front-to-back sphere-chunk WALK — the flagship engine at scene
+scales past one VMEM sweep chunk (8k-32k spheres).
+
+The round-3 mega render kernel (mega_render_kernel.py) holds the whole
+scene as ONE resident sweep chunk and raises past 512 spheres; large
+scenes fell back to the fused host-loop engine, where the chunk walk's
+kernel-level 1.7x win was diluted to 1.46x by refill/drain glue the walk
+cannot touch.  This kernel keeps the mega structure — grid = pool rows,
+in-kernel camera ray generation at refill, pool state in VMEM scratch,
+dense [C, B] color homes — and replaces the row's single resident sweep
+with the culled fused kernel's chunk walk, run per ray sub-block:
+
+  - the scene lives in HBM as the walk pack (sweep columns [N, LANE] f32 +
+    chunk-blocked winner-attr planes [n_chunks*48, chunk] bf16,
+    culled_bounce_kernel.build_culled_pack's layout) with its chunk blocks
+    PRE-SORTED into visit order: always-swept big chunks (ground sphere)
+    first, then Morton clusters front-to-back from the camera center — so
+    the kernel walks chunk ids 0..n_chunks-1 with no order table.  Primary
+    rays see an exact front-to-back order; bounced rays keep it as a
+    heuristic, and correctness never depends on it (the flag test is
+    conservative under any order).
+  - per sub-block of `block_rays` lanes (consecutive lanes = consecutive
+    pixels at refill — frustum-coherent for primaries, loosely coherent
+    for bounces since co-born rays advance together), chunks are tested in
+    groups of 8 against the sub-block's live rays and current best-t
+    (one scalar bitmask per group, culled_bounce_kernel's flag shape) and
+    only chunks some live ray can still hit closer are DMA'd — double-
+    buffered, one chunk ahead — swept, and winner-merged.  A culled chunk
+    costs one vectorized bound test and NO memory traffic; occlusion from
+    already-swept front chunks culls the back of the scene.
+  - shading draws are the GLOBAL (rid, depth)-keyed hash
+    (culled_bounce_kernel._hash_u01) — identical keying to the dense mega
+    render kernel, so at equal scene content the two engines render
+    BIT-IDENTICAL images (pinned in tests/test_mega_walk.py), and pool /
+    block_rays / budget / chunk size stay pure performance knobs.
+
+This is the reference's front-to-back shard traversal with early
+termination (ray_server.rs:56-60 + hittable_list.rs:42-55) and its
+size-agnostic engine (hittable_list.rs:60-74) fused into one program.
+TPU-only (compiled Mosaic); tests run interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from distributed_raytracer_tpu.core.vecmath import BIG, T_MIN
+from distributed_raytracer_tpu.models.scene import ABSORB, Scene
+from distributed_raytracer_tpu.ops.camera import Camera
+from distributed_raytracer_tpu.ops.pallas.bounce_kernel import (
+    _A_IO,
+    _A_MT,
+    _A_ROWS,
+    _A_RR,
+    _shade_vals,
+    _sweep_winner,
+    LANE,
+)
+from distributed_raytracer_tpu.ops.pallas.culled_bounce_kernel import (
+    _hash_u01,
+    build_culled_pack,
+)
+from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
+    GROUP,
+    CulledScene,
+)
+from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+    MegaRenderOut,
+    _c_rows,
+    camera_ray_rows,
+    camera_scalar_row,
+    mega_render_budget,
+    mega_render_budget_tight,
+)
+
+
+class WalkPack(NamedTuple):
+    """Scene-constant arrays for the mega walk, chunk blocks in VISIT
+    order (big always-swept chunks first, then front-to-back from the
+    camera center)."""
+
+    scene_pack: jnp.ndarray  # [N, LANE] f32: lanes 0..3 = cx cy cz r2
+    attrs: jnp.ndarray       # [n_chunks*48, chunk] bf16, chunk-blocked
+    bounds: jnp.ndarray      # [c_pad, LANE] f32: lanes 0..3 = bx by bz r2
+    #                          (pad rows r2 = -1 => guaranteed miss)
+    chunk: int
+    n_chunks: int
+
+
+def build_walk_pack(culled: CulledScene, cam_center) -> WalkPack:
+    """Visit-ordered walk pack from a CulledScene: reorder its chunk
+    blocks once on the host (inf-bound chunks first, then ascending
+    |chunk_center - camera_center|) so the kernel walks ids 0..n-1
+    front-to-back with no per-row order table."""
+    pack = build_culled_pack(culled)
+    bc = np.asarray(pack.bounds_c)
+    br2 = np.asarray(pack.bounds_r2)
+    n_chunks = br2.shape[0]
+    chunk = culled.chunk
+    cam = np.asarray(cam_center, np.float64).reshape(3)
+    dist = np.linalg.norm(bc.astype(np.float64) - cam, axis=-1)
+    dist = np.where(np.isinf(br2), -1.0, dist)  # big chunks lead
+    order = np.argsort(dist, kind="stable").astype(np.int64)
+
+    sp = np.asarray(pack.scene_pack).reshape(n_chunks, chunk, LANE)[order]
+    at = np.asarray(pack.attrs).reshape(n_chunks, 3 * _A_ROWS, chunk)[order]
+    c_pad = (-(-n_chunks // GROUP) + 1) * GROUP
+    bounds = np.zeros((c_pad, LANE), np.float32)
+    bounds[:n_chunks, 0:3] = bc[order]
+    bounds[:n_chunks, 3] = br2[order]
+    bounds[n_chunks:, 3] = -1.0  # guaranteed-miss pad rows
+    return WalkPack(
+        scene_pack=jnp.asarray(sp.reshape(n_chunks * chunk, LANE)),
+        attrs=jnp.asarray(at.reshape(n_chunks * 3 * _A_ROWS, chunk)),
+        bounds=jnp.asarray(bounds),
+        chunk=chunk,
+        n_chunks=n_chunks,
+    )
+
+
+def _mega_walk_kernel(
+    scal_ref,                        # (1, 6) SMEM i32: bounce_seed cam_seed
+    #                                  rid_base n_valid pix0 (pad)
+    cam_ref,                         # (1, 24) SMEM f32 camera scalars
+    bounds_ref,                      # [c_pad, LANE] VMEM visit-order bounds
+    scene_ref,                       # [N, LANE] HBM sweep cols
+    attrs_ref,                       # [n_chunks*48, chunk] HBM bf16
+    # --- outputs ---
+    col_r, col_g, col_b,             # [C, B] f32
+    meta_o,                          # (1, 2) SMEM i32: n_it, clean
+    # --- scratch ---
+    sox, soy, soz, sdx, sdy, sdz,    # (1, B) f32 pool state
+    sar, sag, sab,                   # (1, B) f32
+    scur, snext, sdepth, slive, sfin,  # (1, B) i32
+    rbx, rby, rbz, rcx, rcy, rcz,    # (1, BR) f32 rebase buffers
+    ccr, ccg, ccb,                   # (1, B) f32 pending finish colors
+    t_w,                             # (1, BR) f32 best-t carry
+    rfl,                             # (1, BR) f32 live-lane gate (+BIG live,
+    #                                  -BIG dead: dead lanes never flag a
+    #                                  chunk; routed through scratch so the
+    #                                  flag test's (1,BR)->(G,BR) broadcast
+    #                                  sees an offset-0 layout — Mosaic
+    #                                  rejects broadcasting lane-sliced rows)
+    w_ref,                           # (16, BR) f32 winner-attr carry
+    sbuf, ssem, abuf, asem,          # double-buffered chunk DMA
+    done_s,                          # (1, 1) SMEM i32
+    *, b: int, br: int, c_rows: int, max_depth: int, w: int,
+    chunk: int, n_chunks: int,
+):
+    it = pl.program_id(0)
+    i32 = jnp.int32
+
+    @pl.when(it == 0)
+    def _init():
+        z = jnp.zeros((1, b), jnp.float32)
+        one = jnp.ones((1, b), jnp.float32)
+        zi = jnp.zeros((1, b), i32)
+        sox[:], soy[:], soz[:] = z, z, z
+        sdx[:], sdy[:], sdz[:] = one, one, one  # nonzero dir pre-refill
+        sar[:], sag[:], sab[:] = one, one, one
+        scur[:], snext[:], sdepth[:], slive[:], sfin[:] = zi, zi, zi, zi, zi
+        ccr[:], ccg[:], ccb[:] = z, z, z
+        done_s[0, 0] = 0
+        meta_o[0, 0] = 0
+        meta_o[0, 1] = 0
+        col_r[:] = jnp.zeros_like(col_r)
+        col_g[:] = jnp.zeros_like(col_g)
+        col_b[:] = jnp.zeros_like(col_b)
+
+    @pl.when(done_s[0, 0] == 0)
+    def _row():
+        bounce_seed = scal_ref[0, 0]
+        cam_seed = scal_ref[0, 1]
+        rid_base = scal_ref[0, 2]
+        n_valid = scal_ref[0, 3]
+        pix0 = scal_ref[0, 4]
+        lane = jax.lax.broadcasted_iota(i32, (1, b), 1)
+        live0 = slive[:] > 0
+        cnext = snext[:]
+        has_next = cnext * b + lane < n_valid
+        take = (~live0) & has_next
+        n_take = jnp.sum(take.astype(i32))
+
+        # --- refill: in-kernel camera ray generation (camera.rs:238-251),
+        # shared with the dense mega render kernel — IDENTICAL draws ---
+        @pl.when(n_take > 0)
+        def _refill():
+            pix = pix0 + jnp.minimum(cnext * b + lane, n_valid - 1)
+            rid = rid_base + pix
+            ox_new, oy_new, oz_new, dx_new, dy_new, dz_new = camera_ray_rows(
+                cam_ref, pix, rid, cam_seed, w
+            )
+            sox[:] = jnp.where(take, ox_new, sox[:])
+            soy[:] = jnp.where(take, oy_new, soy[:])
+            soz[:] = jnp.where(take, oz_new, soz[:])
+            sdx[:] = jnp.where(take, dx_new, sdx[:])
+            sdy[:] = jnp.where(take, dy_new, sdy[:])
+            sdz[:] = jnp.where(take, dz_new, sdz[:])
+            sar[:] = jnp.where(take, 1.0, sar[:])
+            sag[:] = jnp.where(take, 1.0, sag[:])
+            sab[:] = jnp.where(take, 1.0, sab[:])
+            scur[:] = jnp.where(take, cnext, scur[:])
+            sdepth[:] = jnp.where(take, 0, sdepth[:])
+            slive[:] = (live0 | take).astype(i32)
+            snext[:] = cnext + take.astype(i32)
+
+        # --- post-refill state ---
+        ox_f, oy_f, oz_f = sox[:], soy[:], soz[:]
+        dx_f, dy_f, dz_f = sdx[:], sdy[:], sdz[:]
+        ar, ag, ab = sar[:], sag[:], sab[:]
+        live = slive[:] > 0
+        c_cur = scur[:]
+        rid_full = rid_base + pix0 + c_cur * b + lane
+        dep_full = sdepth[:]
+
+        # iota must span lanes on Mosaic; build [G, LANE] then slice
+        pos_idx = jax.lax.broadcasted_iota(i32, (GROUP, LANE), 0)[:, 0:1]
+        weights = jnp.left_shift(jnp.int32(1), pos_idx)
+        n_groups = -(-n_chunks // GROUP)
+
+        # --- one walked bounce, sub-block by sub-block ---
+        for sb in range(b // br):
+            sl = slice(sb * br, (sb + 1) * br)
+            rbx[:] = ox_f[:, sl]
+            rby[:] = oy_f[:, sl]
+            rbz[:] = oz_f[:, sl]
+            rcx[:] = dx_f[:, sl]
+            rcy[:] = dy_f[:, sl]
+            rcz[:] = dz_f[:, sl]
+            ox, oy, oz = rbx[:], rby[:], rbz[:]
+            dx, dy, dz = rcx[:], rcy[:], rcz[:]
+            a = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a
+            act = live[:, sl]
+            rfl[:] = jnp.where(act, jnp.float32(BIG), jnp.float32(-BIG))
+
+            # winner carries (defaults: rr/io = 1 safe divisors, mt =
+            # ABSORB, rest 0 — the culled fused kernel's init)
+            t_w[:] = jnp.full_like(t_w, BIG)
+            rows16 = jax.lax.broadcasted_iota(i32, w_ref.shape, 0)
+            w_ref[:] = jnp.where(
+                (rows16 == _A_RR) | (rows16 == _A_IO),
+                1.0,
+                jnp.where(rows16 == _A_MT, float(ABSORB), 0.0),
+            )
+
+            def flag_bits(base):
+                # occlusion-aware bound test for visit positions
+                # base..base+GROUP-1: bit j = some LIVE ray might hit
+                # bound base+j closer than its current best t.
+                # Conservative under the staleness of t_w (it only
+                # shrinks), so correctness is unconditional.  Dead lanes
+                # carry t_best = -BIG (rfl) and never flag.
+                t_best = jnp.minimum(t_w[:], rfl[:])
+                btile = bounds_ref[pl.ds(base, GROUP), :]  # [G, LANE]
+                bx = btile[:, 0:1]
+                by = btile[:, 1:2]
+                bz = btile[:, 2:3]
+                br2v = btile[:, 3:4]
+                obx = bx - ox
+                oby = by - oy
+                obz = bz - oz
+                hb = dx * obx + dy * oby + dz * obz
+                cb = obx * obx + oby * oby + obz * obz - br2v
+                discb = hb * hb - a * cb
+                okb = discb >= 0.0
+                sq = jnp.sqrt(jnp.where(okb, discb, 0.0))
+                nearb = (hb - sq) * inv_a
+                farb = (hb + sq) * inv_a
+                possible = okb & (farb > T_MIN) & (nearb < t_best)
+                valid = (base + pos_idx) < n_chunks
+                flag = jnp.any(possible, axis=1, keepdims=True) & valid
+                return jnp.sum(jnp.where(flag, weights, 0))
+
+            def start_dma(slot, chunk_id):
+                pltpu.make_async_copy(
+                    scene_ref.at[pl.ds(chunk_id * chunk, chunk), :],
+                    sbuf.at[slot],
+                    ssem.at[slot],
+                ).start()
+                pltpu.make_async_copy(
+                    attrs_ref.at[
+                        pl.ds(chunk_id * (3 * _A_ROWS), 3 * _A_ROWS), :
+                    ],
+                    abuf.at[slot],
+                    asem.at[slot],
+                ).start()
+
+            bits0 = flag_bits(0)
+            poss0 = (bits0 & 1) > 0
+
+            @pl.when(poss0)
+            def _():
+                start_dma(0, jnp.int32(0))
+
+            def group_step(g, carry):
+                started, bits_g = carry
+                bits_gp1 = flag_bits((g + 1) * GROUP)
+
+                for jj in range(GROUP):
+                    pos = g * GROUP + jj
+                    nb = (bits_g >> (jj + 1)) if jj < GROUP - 1 else bits_gp1
+                    start_next = (nb & 1) > 0
+
+                    @pl.when(start_next)
+                    def _():
+                        start_dma((pos + 1) % 2, pos + 1)
+
+                    @pl.when(started)
+                    def _():
+                        slot = pos % 2
+                        pltpu.make_async_copy(
+                            scene_ref.at[pl.ds(pos * chunk, chunk), :],
+                            sbuf.at[slot],
+                            ssem.at[slot],
+                        ).wait()
+                        pltpu.make_async_copy(
+                            attrs_ref.at[
+                                pl.ds(pos * (3 * _A_ROWS), 3 * _A_ROWS), :
+                            ],
+                            abuf.at[slot],
+                            asem.at[slot],
+                        ).wait()
+                        t_c, wa = _sweep_winner(
+                            ox, oy, oz, dx, dy, dz, a, inv_a,
+                            sbuf[slot, :, 0:1], sbuf[slot, :, 1:2],
+                            sbuf[slot, :, 2:3], sbuf[slot, :, 3:4],
+                            abuf[slot],
+                        )
+                        t_best = t_w[:]
+                        better = t_c < t_best
+                        w_ref[:] = jnp.where(better, wa, w_ref[:])
+                        t_w[:] = jnp.where(better, t_c, t_best)
+
+                    started = start_next
+                return (started, bits_gp1)
+
+            jax.lax.fori_loop(0, n_groups, group_step, (poss0, bits0))
+
+            # --- shade with the GLOBAL (rid, depth)-keyed hash draws —
+            # same keying as the dense mega render kernel ---
+            seed_row = bounce_seed + dep_full[:, sl] * jnp.int32(65537)
+            rid_sl = rid_full[:, sl]
+            draws = tuple(_hash_u01(rid_sl, seed_row, dd) for dd in range(5))
+            (nox, noy, noz, ndx, ndy, ndz, atr, atg, atb,
+             cor, cog, cob, fin_row, _idx_row,
+             _rux, _ruy, _ruz, _u_ch) = _shade_vals(
+                ox, oy, oz, dx, dy, dz, a, act, t_w[:], w_ref[:], draws=draws
+            )
+            fin_b = (fin_row > 0) & act
+
+            ccr[0, sl] = jnp.where(fin_b, ar[:, sl] * cor, ccr[:, sl])[0]
+            ccg[0, sl] = jnp.where(fin_b, ag[:, sl] * cog, ccg[:, sl])[0]
+            ccb[0, sl] = jnp.where(fin_b, ab[:, sl] * cob, ccb[:, sl])[0]
+
+            keep = act & ~fin_b
+            depth2 = sdepth[:, sl] + act.astype(i32)
+            exhausted = keep & (depth2 >= max_depth)
+            sox[0, sl] = nox[0]
+            soy[0, sl] = noy[0]
+            soz[0, sl] = noz[0]
+            sdx[0, sl] = ndx[0]
+            sdy[0, sl] = ndy[0]
+            sdz[0, sl] = ndz[0]
+            sar[0, sl] = (ar[:, sl] * atr)[0]
+            sag[0, sl] = (ag[:, sl] * atg)[0]
+            sab[0, sl] = (ab[:, sl] * atb)[0]
+            sdepth[0, sl] = depth2[0]
+            slive[0, sl] = (keep & ~exhausted).astype(i32)[0]
+            sfin[0, sl] = fin_b.astype(i32)[0]
+
+        # --- dense color drain: ray (c, lane) finished -> home [c, lane] ---
+        fin_full = sfin[:] > 0
+        rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
+        sel_fin = (rows_i == c_cur) & fin_full
+        col_r[:] = jnp.where(sel_fin, ccr[:], col_r[:])
+        col_g[:] = jnp.where(sel_fin, ccg[:], col_g[:])
+        col_b[:] = jnp.where(sel_fin, ccb[:], col_b[:])
+
+        # --- termination ---
+        live2 = slive[:] > 0
+        rem = jnp.sum((snext[:] * b + lane < n_valid).astype(i32))
+        natural_done = (rem == 0) & (jnp.sum(live2.astype(i32)) == 0)
+        meta_o[0, 0] = it + 1
+        meta_o[0, 1] = natural_done.astype(i32)
+        done_s[0, 0] = natural_done.astype(i32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pix", "w", "max_depth", "pool", "budget",
+                     "block_rays", "chunk", "n_chunks"),
+)
+def mega_walk_sample(
+    scene_pack: jnp.ndarray,
+    attrs: jnp.ndarray,
+    bounds: jnp.ndarray,
+    cam_row: jnp.ndarray,
+    sample: jnp.ndarray,
+    bounce_seed: jnp.ndarray,
+    cam_seed: jnp.ndarray,
+    n_pix: int,
+    w: int,
+    max_depth: int,
+    chunk: int,
+    n_chunks: int,
+    pool: int = 2048,
+    budget: int = 0,
+    block_rays: int = 256,
+    pix0=None,
+    n_valid=None,
+    n_global=None,
+) -> MegaRenderOut:
+    """Render ONE full image sample against a WalkPack's arrays as one
+    pallas_call.  Same contract as mega_render_kernel.mega_render_sample
+    (shard-mode pix0/n_valid/n_global included); scene arrives as the
+    visit-ordered HBM pack instead of resident VMEM columns."""
+    b = pool
+    if b % LANE:
+        raise ValueError(f"pool must be a multiple of {LANE}")
+    br = min(block_rays, b)
+    if b % br:
+        raise ValueError(f"pool {b} not a multiple of block_rays {br}")
+    c_rows = _c_rows(n_pix, b)
+    t_budget = budget or mega_render_budget(n_pix, max_depth, b)
+    if pix0 is None:
+        pix0 = jnp.int32(0)
+    if n_valid is None:
+        n_valid = jnp.int32(n_pix)
+    if n_global is None:
+        n_global = jnp.int32(n_pix)
+
+    f32, i32 = jnp.float32, jnp.int32
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    rid_base = jnp.asarray(sample, i32) * jnp.asarray(n_global, i32)
+    scal = jnp.stack(
+        [jnp.asarray(bounce_seed, i32), jnp.asarray(cam_seed, i32),
+         rid_base, jnp.asarray(n_valid, i32), jnp.asarray(pix0, i32),
+         jnp.zeros((), i32)]
+    ).reshape(1, 6)
+
+    c_pad = bounds.shape[0]
+    outs = pl.pallas_call(
+        functools.partial(
+            _mega_walk_kernel, b=b, br=br, c_rows=c_rows,
+            max_depth=max_depth, w=w, chunk=chunk, n_chunks=n_chunks,
+        ),
+        grid=(t_budget,),
+        in_specs=[
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            whole((c_pad, LANE)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            [whole((c_rows, b))] * 3
+            + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((c_rows, b), f32)] * 3
+            + [jax.ShapeDtypeStruct((1, 2), i32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((1, b), f32)] * 9
+            + [pltpu.VMEM((1, b), i32)] * 5
+            + [pltpu.VMEM((1, br), f32)] * 6
+            + [pltpu.VMEM((1, b), f32)] * 3
+            + [pltpu.VMEM((1, br), f32)] * 2
+            + [pltpu.VMEM((_A_ROWS, br), f32)]
+            + [
+                pltpu.VMEM((2, chunk, LANE), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, 3 * _A_ROWS, chunk), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            + [pltpu.SMEM((1, 1), i32)]
+        ),
+    )(scal, cam_row, bounds, scene_pack, attrs)
+    cr, cg, cb, meta = outs
+    return MegaRenderOut(
+        colors=jnp.stack([cr, cg, cb], axis=-1),
+        n_it=meta[0, 0],
+        clean=meta[0, 1],
+    )
+
+
+def mega_walk_colors(
+    pack: WalkPack,
+    camera: Camera,
+    sample: jnp.ndarray,
+    bounce_seed: jnp.ndarray,
+    cam_seed: jnp.ndarray,
+    pool: int = 2048,
+    budget: int = 0,
+    block_rays: int = 256,
+    n_cap: int = 0,
+    pix0=None,
+    n_valid=None,
+    n_global=None,
+) -> jnp.ndarray:
+    """Per-pixel colors [n_cap, 3] for one image sample, with the same
+    lax.cond truncation fallback as mega_render_colors (bit-identical —
+    draws are (rid, depth)-keyed)."""
+    n_cap = n_cap or camera.num_pixels
+    w = camera.image_width
+    kw = dict(n_pix=n_cap, w=w, max_depth=camera.max_depth,
+              chunk=pack.chunk, n_chunks=pack.n_chunks, pool=pool,
+              block_rays=block_rays, pix0=pix0, n_valid=n_valid,
+              n_global=n_global)
+    cam_row = camera_scalar_row(camera)
+    args = (pack.scene_pack, pack.attrs, pack.bounds, cam_row, sample,
+            bounce_seed, cam_seed)
+    out = mega_walk_sample(*args, budget=budget, **kw)
+    if budget and budget < mega_render_budget(n_cap, camera.max_depth, pool):
+        colors = jax.lax.cond(
+            out.clean == 1,
+            lambda _: out.colors,
+            lambda _: mega_walk_sample(*args, budget=0, **kw).colors,
+            None,
+        )
+    else:
+        colors = out.colors
+    return colors.reshape(-1, 3)[:n_cap]
+
+
+def render_wavefront_sum_mega_walk(
+    pack: WalkPack,
+    camera: Camera,
+    key: jax.Array,
+    spp: int,
+    pool_size: int = 2048,
+    budget: int = 0,
+    block_rays: int = 256,
+) -> jnp.ndarray:
+    """Color SUM image [n_pix, 3] for spp samples on the mega-walk engine
+    — drop-in for render_wavefront_sum_mega at multi-chunk scene scale.
+    Seed derivation matches render_wavefront_sum_mega exactly, so at equal
+    scene content the two engines' images are bit-identical."""
+    bounce_seed = jnp.asarray(
+        jax.random.randint(key, (), 0, 2**31 - 1), jnp.int32
+    )
+    cam_seed = jnp.asarray(
+        jax.random.randint(jax.random.fold_in(key, 0xCA3), (), 0, 2**31 - 1),
+        jnp.int32,
+    )
+
+    def one(s):
+        return mega_walk_colors(
+            pack, camera, s, bounce_seed, cam_seed, pool=pool_size,
+            budget=budget, block_rays=block_rays,
+        )
+
+    per_sample = jax.lax.map(one, jnp.arange(spp, dtype=jnp.int32))
+    return jnp.sum(per_sample, axis=0)
+
+
+def mega_walk_supported(n_pix: int, pool: int = 2048) -> bool:
+    """True when the dense [C, B] x 3 color homes fit the conservative
+    VMEM budget (scene size is no longer a constraint — chunks stream
+    from HBM)."""
+    return 3 * _c_rows(n_pix, pool) * pool * 4 <= 64 * 2**20
+
+
+def walk_pack_for(scene: Scene, camera: Camera, chunk: int = 256) -> WalkPack:
+    """Host-side scene prep: Morton clusters (native builder) + camera
+    visit order.  The one-stop constructor progressive/CLI callers use."""
+    from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
+        build_culled_scene,
+    )
+
+    culled = build_culled_scene(scene, chunk=chunk)
+    return build_walk_pack(culled, np.asarray(camera.center))

@@ -123,12 +123,8 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         # generation + refill + bounce + drain) as ONE Pallas program per
         # image sample — no host-loop glue, no drain scatter/gather
         from distributed_raytracer_tpu.ops.pallas import mega_render_kernel as mrk
+        from distributed_raytracer_tpu.ops.pallas import mega_walk_kernel as mwk
 
-        if not mrk.mega_render_supported(scene, camera.num_pixels, pool_size):
-            raise ValueError(
-                "mega engine unsupported here (scene exceeds one sweep "
-                "chunk or color homes exceed VMEM) — use engine='fused'"
-            )
         if resort_every or ray_order == "tiled":
             import sys
 
@@ -140,15 +136,47 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         budget = mrk.mega_render_budget_tight(
             camera.num_pixels, camera.max_depth, pool_size
         )
-        # hardware sweep optimum (flagship workload): sub-block 1024 edges
-        # out 512/2048 (probe timing 33.6 vs 32.8/32.1 M rays/s)
-        br = 1024 if pool_size % 1024 == 0 else pool_size
+        dense_ok = culled is None and mrk.mega_render_supported(
+            scene, camera.num_pixels, pool_size
+        )
+        if dense_ok:
+            # hardware sweep optimum (flagship workload): sub-block 1024
+            # edges out 512/2048 (probe 33.6 vs 32.8/32.1 M rays/s)
+            br = 1024 if pool_size % 1024 == 0 else pool_size
+            render = jax.jit(
+                functools.partial(mrk.render_wavefront_sum_mega,
+                                  budget=budget, block_rays=br),
+                static_argnames=("spp", "pool_size"),
+            )
+            return lambda k, n: render(
+                scene, camera, k, spp=n, pool_size=pool_size
+            )
+        # multi-chunk scene (or an explicit --accel culled): the mega WALK
+        # kernel — same program structure, scene streamed from HBM chunk by
+        # chunk with in-kernel occlusion culling; image bit-identical to
+        # the dense engine at equal scene content (same (rid, depth) keys)
+        if not mwk.mega_walk_supported(camera.num_pixels, pool_size):
+            raise ValueError(
+                "mega engine unsupported here (color homes exceed VMEM) — "
+                "use engine='fused'"
+            )
+        if culled is not None:
+            import numpy as _np
+
+            pack = mwk.build_walk_pack(culled, _np.asarray(camera.center))
+        else:
+            pack = mwk.walk_pack_for(scene, camera, chunk=256)
+        br = 256 if pool_size % 256 == 0 else (
+            128 if pool_size % 128 == 0 else pool_size
+        )
+        # pack binds as a closure constant (its chunk/n_chunks ints are
+        # static kernel-shape parameters, not traceable leaves)
         render = jax.jit(
-            functools.partial(mrk.render_wavefront_sum_mega, budget=budget,
-                              block_rays=br),
+            functools.partial(mwk.render_wavefront_sum_mega_walk, pack,
+                              budget=budget, block_rays=br),
             static_argnames=("spp", "pool_size"),
         )
-        return lambda k, n: render(scene, camera, k, spp=n, pool_size=pool_size)
+        return lambda k, n: render(camera, k, spp=n, pool_size=pool_size)
     if engine == "fused":
         if culled is not None:
             render = jax.jit(
@@ -351,19 +379,18 @@ def render_progressive(
         pool_size = 2048 if engine == "mega" else 16384
 
     if engine == "mega":
-        from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
-            mega_render_supported,
+        from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
+            mega_walk_supported,
         )
 
-        if culled is not None or not mega_render_supported(
-            scene, camera.num_pixels, pool_size
-        ):
+        # scene size no longer limits the mega engine (multi-chunk scenes
+        # run the mega WALK kernel); only a VMEM-bound image falls back
+        if not mega_walk_supported(camera.num_pixels, pool_size):
             import sys
 
             print(
                 "[render] mega engine unsupported for this workload "
-                "(culled accel, multi-chunk scene, or VMEM-bound image); "
-                "falling back to fused",
+                "(VMEM-bound image); falling back to fused",
                 file=sys.stderr,
             )
             engine = "fused"
