@@ -16,6 +16,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess/property tests: minutes, not seconds
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -228,28 +228,47 @@ def test_mega_engine_resume_bit_identical(tmp_path):
     assert (straight.raw_sum != 0).any()
 
 
-def test_mega_engine_falls_back_when_unsupported(tmp_path):
-    """A scene beyond one sweep chunk (> 512 spheres) downgrades the mega
-    engine to fused with a note — same image contract, fused noise stream
-    (pinned via the checkpoint engine tag)."""
+def test_mega_engine_walks_multichunk_and_falls_back_on_vmem(tmp_path):
+    """Round 4: a scene beyond one sweep chunk (> 512 spheres) now STAYS
+    on the mega engine (the walk kernel, tag 'mega' — image covered by
+    test_mega_walk.py's routing test); only a VMEM-bound image (dense
+    color homes past the budget) still downgrades to fused."""
     from jax.experimental.pallas import tpu as pltpu
 
     from distributed_raytracer_tpu.models.presets import rtiow_final_scene
+    from distributed_raytracer_tpu.ops.camera import make_camera
     from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
         mega_render_supported,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
+        mega_walk_supported,
     )
 
     big = rtiow_final_scene(seed=0, pad_to=640)
     cam = _mega_camera(depth=3)
     assert not mega_render_supported(big, cam.num_pixels, 128)
-    ck = str(tmp_path / "f.ckpt")
+    assert mega_walk_supported(cam.num_pixels, 128)
+    ck = str(tmp_path / "walk.ckpt")
     with pltpu.force_tpu_interpret_mode():
-        st = render_progressive(
+        render_progressive(
             big, cam, seed=0, spp=1, batch=1, checkpoint_path=ck,
             engine="mega", pool_size=128,
         )
-        fused = render_progressive(
-            big, cam, seed=0, spp=1, batch=1, engine="fused", pool_size=128
-        )
-    assert AccumState.load(ck).engine == "fused"
-    np.testing.assert_array_equal(st.raw_sum, fused.raw_sum)
+    assert AccumState.load(ck).engine == "mega"  # no fused downgrade
+
+    # VMEM-bound image: the dense [C, B] color homes exceed the budget ->
+    # fused fallback (spp=0 exercises only the routing, no render)
+    huge = make_camera(
+        aspect_ratio=16.0 / 9.0, image_width=3200, samples_per_pixel=1,
+        max_depth=3, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), vup=(0.0, 1.0, 0.0),
+        defocus_angle=0.0, focus_dist=10.0,
+    )
+    assert not mega_walk_supported(huge.num_pixels, 128)
+    ck2 = str(tmp_path / "vmem.ckpt")
+    st = render_progressive(
+        big, huge, seed=0, spp=0, batch=1, checkpoint_path=ck2,
+        engine="mega", pool_size=128,
+    )
+    assert st.samples_done == 0
+    assert AccumState.load(ck2).engine == "fused"

@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess/property tests: minutes, not seconds
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
