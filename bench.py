@@ -3,8 +3,10 @@
 Workload = the reference's flagship render (main.rs:55-66): RTiOW final
 scene (~480 spheres), 1200x675, max_depth 50.  "ray" = one primary camera
 sample (pixel sample); each carries its full bounce loop.  Forward is the
-production fast path (wavefront pool + fused Pallas intersect);
-forward+backward is the path-replay tracer (grad/pathgrad.py).
+production engine (the mega RENDER kernel); forward+backward is the
+CAMERA tape tracer (grad/tapegrad.py) — the recording twin of the same
+engine (identical ray paths, bit-identical colors at equal seeds) plus
+the mega BACKWARD kernel, on one full image sample of pixel ids.
 
 The reference publishes NO numbers (README.md:1-6; no benches).  The
 vs_baseline denominator is therefore an ESTIMATE of the Rust renderer's
@@ -95,7 +97,10 @@ def main():
     # iteration tape the backward replays in reverse at identical trip
     # count.  Pool/segsum from the round-2 hardware sweep
     # (scripts/bench_tapegrad.py; docs/DESIGN.md).
-    from distributed_raytracer_tpu.grad.tapegrad import make_tape_tracer
+    from distributed_raytracer_tpu.grad.tapegrad import (
+        make_tape_camera_tracer,
+        make_tape_tracer,
+    )
     from distributed_raytracer_tpu.ops.intersect import closest_hit
 
     # Tight tape budget — the documented production mode (tapegrad
@@ -119,85 +124,126 @@ def main():
     # Pallas program): 23.5 -> 16.1 ms pipelined on this workload
     # (scripts/_megabwd_pipelined.py; ray_grads on/off measured equal).
     grad_pool = 2048
-    grad_budget = 704  # n_it 558 on this workload; 640 failed the 20%-
-    # headroom honesty check below and silently fell back to the worst-
-    # case tape (8.3M rays/s — the check working as designed)
-    grad_refill = 2
-    tracer_kw = dict(
-        max_depth=depth,
-        pool=grad_pool,
-        intersect_fn=intersect if intersect else closest_hit,
-        use_fused=on_tpu,
-        use_mega=on_tpu,
-        mega_bwd=on_tpu,
-        segsum="matmul" if on_tpu else "scatter",
-        refill_every=grad_refill,
-    )
-    tracer = make_tape_tracer(
-        jax.random.PRNGKey(1), budget=grad_budget, **tracer_kw
-    )
-
-    @jax.jit
-    def fwd_bwd(params, scene, o, d):
-        def loss_fn(p):
-            s = scene.with_diff_params(p)
-            colors = tracer(s, o, d)
-            return image_loss(colors, jnp.zeros_like(colors))
-
-        return jax.value_and_grad(loss_fn)(params)
-
-    # strided pixel ids: rays spread over the WHOLE image so the bounce-depth
-    # mix matches a real render (round 1 used the first 65536 pixels — the
-    # top rows, which are mostly 1-bounce sky; that flattered rays/s).
-    # NOTE: host-side int64 — jnp would silently truncate to int32 and the
-    # product overflows.
     import numpy as np
 
-    ids = jnp.asarray(
-        np.arange(n_rays, dtype=np.int64) * camera.num_pixels // n_rays, jnp.int32
-    )
-    key = jax.random.PRNGKey(0)
-    # primary-ray generation is not differentiated (camera pose fixed in this
-    # benchmark) — keep it out of the timed grad program
-    ray_o, ray_d = jax.block_until_ready(
-        jax.jit(lambda k: generate_rays(camera, k, ids % w, ids // w))(key)
-    )
-
-    # tape-budget overflow check (untimed): the tight budget must fit the
-    # actual trip count with >=20% headroom or the worst case is used
-    from distributed_raytracer_tpu.grad.tapegrad import (
-        _forward_tape,
-        _forward_tape_mega,
-    )
-
     if on_tpu:
+        # Round-4 production config: the CAMERA tracer — one FULL image
+        # sample of pixel ids (the inverse-rendering production shape:
+        # image-loss steps process num_pixels rays per spp batch).  Primary
+        # rays are generated IN-KERNEL at refill; every draw is the GLOBAL
+        # (pixel, depth)-keyed hash, so the recording forward follows the
+        # EXACT ray paths of the shipping mega render engine
+        # (test_mega.py::test_recording_camera_forward_equals_render_kernel
+        # pins bit-identity) and the fwd-vs-fwd+bwd ratio is engine-vs-
+        # engine, not estimator-vs-estimator.  Both directions are single
+        # Pallas programs (mega_forward_camera + mega_backward
+        # ray_grads=False).
+        n_rays = camera.num_pixels
+        ids = jnp.arange(n_rays, dtype=jnp.int32)
+
+        # Deterministic tape budget: with (pixel, depth)-keyed hash draws
+        # the benchmark's trip count is a PURE FUNCTION of (scene, camera,
+        # key) — measure it once untimed at a generous probe budget, then
+        # build the tracer with n_it + 16 slack rows (grid steps past n_it
+        # still pay two block copies each in the forward AND the reverse
+        # walk, ~2.3 ms at a 20% margin).  Honesty is structural, not
+        # margin-based: any truncation NaN-poisons the colors, so a wrong
+        # budget is a loud failure, never a silently-wrong gradient.
+        from distributed_raytracer_tpu.grad.tapegrad import (
+            _forward_tape_camera_raw,
+        )
+
+        probe_budget = 1760  # ~25% over the measured 1448 on this workload
         _, _, n_it, _ = jax.jit(
-            lambda s, o, d: _forward_tape_mega(
-                s, o, d, jax.random.PRNGKey(1), depth, grad_pool, grad_budget,
+            lambda s, i: _forward_tape_camera_raw(
+                s, camera, i, jax.random.PRNGKey(1), grad_pool, probe_budget,
+                512, 2,
             )
-        )(scene, ray_o, ray_d)
+        )(scene, ids)
+        n_it = int(n_it)
+        if n_it >= probe_budget:  # probe truncated: use the worst case
+            log(f"probe budget {probe_budget} truncated -> worst-case tape")
+            grad_budget = None
+        else:
+            grad_budget = -(-(n_it + 16) // 2) * 2
+        log(f"tape trip count {n_it} -> budget {grad_budget}")
+        tracer = make_tape_camera_tracer(
+            jax.random.PRNGKey(1), camera, pool=grad_pool,
+            budget=grad_budget, block_rays=512, mega_pad=2,
+        )
+
+        @jax.jit
+        def fwd_bwd(params, scene, ids):
+            def loss_fn(p):
+                s = scene.with_diff_params(p)
+                colors = tracer(s, ids)
+                return image_loss(colors, jnp.zeros_like(colors))
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        fb_args = (ids,)
     else:
+        # CPU smoke path: the ray-table tracer on strided pixel ids (rays
+        # spread over the WHOLE image so the bounce-depth mix matches a
+        # real render).  NOTE: host-side int64 — jnp would silently
+        # truncate to int32 and the product overflows.
+        grad_budget = 704
+        grad_refill = 2
+        tracer_kw = dict(
+            max_depth=depth,
+            pool=grad_pool,
+            intersect_fn=intersect if intersect else closest_hit,
+            use_fused=False,
+            segsum="scatter",
+            refill_every=grad_refill,
+        )
+        tracer = make_tape_tracer(
+            jax.random.PRNGKey(1), budget=grad_budget, **tracer_kw
+        )
+        ids = jnp.asarray(
+            np.arange(n_rays, dtype=np.int64) * camera.num_pixels // n_rays,
+            jnp.int32,
+        )
+        key = jax.random.PRNGKey(0)
+        ray_o, ray_d = jax.block_until_ready(
+            jax.jit(lambda k: generate_rays(camera, k, ids % w, ids // w))(key)
+        )
+
+        @jax.jit
+        def fwd_bwd(params, scene, o, d):
+            def loss_fn(p):
+                s = scene.with_diff_params(p)
+                colors = tracer(s, o, d)
+                return image_loss(colors, jnp.zeros_like(colors))
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        fb_args = (ray_o, ray_d)
+
+        from distributed_raytracer_tpu.grad.tapegrad import _forward_tape
+
         _, _, n_it, _ = jax.jit(
             lambda s, o, d: _forward_tape(
                 s, o, d, jax.random.PRNGKey(1), depth, grad_pool,
-                tracer_kw["intersect_fn"], tracer_kw["use_fused"], grad_budget,
-                False, grad_refill,
+                tracer_kw["intersect_fn"], tracer_kw["use_fused"],
+                grad_budget, False, grad_refill,
             )
         )(scene, ray_o, ray_d)
-    n_it = int(n_it)
-    log(f"tape trip count {n_it} / budget {grad_budget}")
-    if n_it * 1.2 >= grad_budget:
-        log("budget too tight -> worst-case tape")
-        tracer = make_tape_tracer(jax.random.PRNGKey(1), **tracer_kw)
+        n_it = int(n_it)
+        log(f"tape trip count {n_it} / budget {grad_budget}")
+        if n_it * 1.2 >= grad_budget:
+            log("budget too tight -> worst-case tape")
+            tracer = make_tape_tracer(jax.random.PRNGKey(1), **tracer_kw)
 
     # headline first: every compile goes through a slow remote tunnel with no
     # persistent cache, so measure fwd+bwd before anything optional and emit
     # the JSON line even if the forward-only extra doesn't fit the budget.
+    key = jax.random.PRNGKey(0)
     params = scene.diff_params()
-    t_fb = timed(lambda *a: fwd_bwd(params, *a), scene, ray_o, ray_d,
+    t_fb = timed(lambda *a: fwd_bwd(params, *a), scene, *fb_args,
                  iters=8, reps=3)
     fb_rps = n_rays / t_fb
-    log(f"fwd+bwd (path-replay): {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
+    log(f"fwd+bwd (mega fwd+bwd kernels): {t_fb*1e3:8.2f} ms/{n_rays} rays -> {fb_rps:,.0f} rays/s")
 
     extras = {
         "baseline_note": "Rust ref publishes no numbers; est 5.6e4 rays/s single-core",

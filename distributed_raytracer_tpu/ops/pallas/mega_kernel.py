@@ -63,6 +63,7 @@ from distributed_raytracer_tpu.ops.pallas.bounce_kernel import (
     _sweep_winner,
     LANE,
 )
+from distributed_raytracer_tpu.ops.pallas.culled_bounce_kernel import _hash_u01
 
 
 class MegaOut(NamedTuple):
@@ -95,6 +96,7 @@ _TI_IDX, _TI_LRAY, _TI_FLG = 0, 1, 2
 
 def _mega_kernel(
     scal_ref,                                   # (1,4) SMEM i32: seed cam_seed
+    #                                             rid_base (pad)
     *refs,
     r: int, b: int, br: int, c_rows: int, max_depth: int,
     pad_rows: int, camera_mode: bool = False, w: int = 0,
@@ -106,8 +108,22 @@ def _mega_kernel(
     i32 pixel-id table replace the 6 f32 ray tables — the primary ray is
     generated IN-KERNEL at refill (mega_render_kernel.camera_ray_rows,
     camera.rs:238-251), freeing 5 [C, B] planes of VMEM and 5/6 of the
-    refill's one-hot fetch work.  Camera-jitter draws are keyed by
-    (ray index, cam_seed) hash; bounce draws unchanged.
+    refill's one-hot fetch work.
+
+    ALL draws are the (rid, depth)-keyed hash (_hash_u01), the render
+    kernel's exact scheme: camera jitter/defocus keyed (rid, cam_seed,
+    8..11), bounce draws keyed (rid, seed + depth*65537, 0..4), where rid
+    = rid_base + pixel id in camera mode (GLOBAL pixel identity — the
+    dp-sharded tape path draws shard-invariant noise) and rid_base + ray
+    index in ray mode.  Consequences: the recording camera forward is
+    BIT-IDENTICAL to the mega render kernel at equal seeds (pinned in
+    tests), pool/block/budget become pure performance knobs for the tape
+    path too, and interpret-mode tests see real noise
+    (pltpu.prng_random_bits returns zeros on CPU).  The draws are still
+    RECORDED on the tape (ruv/u planes): the packed [1, 16, B] block's
+    HBM tiles pad 12 -> 16 sublanes anyway, so dropping them saves no
+    bandwidth, and stored draws keep the XLA backward and the replay
+    oracle exact on every backend.
     """
     if camera_mode:
         (cam_ref, pix_tab,
@@ -115,7 +131,7 @@ def _mega_kernel(
          tf_o, ti_o, pos_o, rpos_o, meta_o,
          sox, soy, soz, sdx, sdy, sdz,
          sar, sag, sab,
-         scur, snext, sdepth, slive, sfin,
+         scur, snext, sdepth, slive, sfin, spix,
          rbx, rby, rbz, rcx, rcy, rcz,
          done_s) = refs
     else:
@@ -124,7 +140,7 @@ def _mega_kernel(
          tf_o, ti_o, pos_o, rpos_o, meta_o,
          sox, soy, soz, sdx, sdy, sdz,
          sar, sag, sab,
-         scur, snext, sdepth, slive, sfin,
+         scur, snext, sdepth, slive, sfin, spix,
          rbx, rby, rbz, rcx, rcy, rcz,
          done_s) = refs
     it = pl.program_id(0)
@@ -139,6 +155,7 @@ def _mega_kernel(
         sdx[:], sdy[:], sdz[:] = one, one, one  # nonzero dir pre-refill
         sar[:], sag[:], sab[:] = one, one, one
         scur[:], snext[:], sdepth[:], slive[:], sfin[:] = zi, zi, zi, zi, zi
+        spix[:] = zi
         done_s[0, 0] = 0
         meta_o[0, 0] = 0
         meta_o[0, 1] = 0
@@ -170,7 +187,12 @@ def _mega_kernel(
                     jnp.where(rows_i == cnext, pix_tab[:], 0),
                     axis=0, keepdims=True,
                 )
-                rid = cnext * b + lane  # ray index keys the camera draws
+                # GLOBAL pixel identity keys the camera draws — the render
+                # kernel's exact keying (rid_base + pix), so the recording
+                # forward's primaries are bit-identical to the render
+                # engine's and shard-invariant under dp pixel sharding
+                rid = scal_ref[0, 2] + pix
+                spix[:] = jnp.where(take, pix, spix[:])
                 nox_r, noy_r, noz_r, ndx_r, ndy_r, ndz_r = camera_ray_rows(
                     cam_ref, pix, rid, scal_ref[0, 1], w
                 )
@@ -182,6 +204,8 @@ def _mega_kernel(
 
                 nox_r, noy_r, noz_r = fetch(tox), fetch(toy), fetch(toz)
                 ndx_r, ndy_r, ndz_r = fetch(tdx), fetch(tdy), fetch(tdz)
+                # ray index keys the bounce draws in ray mode
+                spix[:] = jnp.where(take, cnext * b + lane, spix[:])
 
             sox[:] = jnp.where(tk, nox_r, sox[:])
             soy[:] = jnp.where(tk, noy_r, soy[:])
@@ -208,6 +232,8 @@ def _mega_kernel(
         live = slive[:] > 0
         c_cur = scur[:]
         lane_ray = c_cur * b + lane
+        rid_full = scal_ref[0, 2] + spix[:] if camera_mode else lane_ray
+        dep_full = sdepth[:]
 
         # --- tape row: PRE-bounce state (matches _forward_tape's record),
         # written as sublane rows of the single packed block ---
@@ -246,11 +272,14 @@ def _mega_kernel(
                 oxs, oys, ozs, dxs, dys, dzs, a_s, inv_s,
                 cx_ref[:], cy_ref[:], cz_ref[:], r2_ref[:], attr_ref[:],
             )
-            pltpu.prng_seed(scal_ref[0, 0] + it * jnp.int32(65537) + sb)
+            # (rid, depth)-keyed hash draws — the render kernel's scheme
+            seed_row = scal_ref[0, 0] + dep_full[:, sl] * jnp.int32(65537)
+            rid_sl = rid_full[:, sl]
+            draws = tuple(_hash_u01(rid_sl, seed_row, dd) for dd in range(5))
             (nox, noy, noz, ndx, ndy, ndz, atr, atg, atb,
              cor, cog, cob, fin_row, idx_row,
              rux, ruy, ruz, u_ch) = _shade_vals(
-                oxs, oys, ozs, dxs, dys, dzs, a_s, act, t_c, wa
+                oxs, oys, ozs, dxs, dys, dzs, a_s, act, t_c, wa, draws=draws
             )
             hit_row = ((t_c < BIG * 0.5) & act).astype(i32)
 
@@ -449,6 +478,7 @@ def mega_forward_camera(
     budget: int = 0,
     block_rays: int = 512,
     pad_rows: int = 2,
+    rid_base=None,
 ) -> MegaOut:
     """Camera-mode recording forward: primary rays are generated IN-KERNEL
     from pixel ids + 24 SMEM camera scalars at refill (the mega render
@@ -457,9 +487,13 @@ def mega_forward_camera(
     host-side ray pregen disappears from the fwd+bwd pipeline.
 
     pixel_ids: [R] i32 flat pixel indices (any order/striding).  cam_row:
-    camera_scalar_row(camera).  cam_seed keys the jitter/defocus hash
-    draws per RAY INDEX (hash (ray, cam_seed, 8..11)).  Ray gradients do
-    not exist in this mode (rays are not inputs); use mega_backward
+    camera_scalar_row(camera).  Draws are keyed by rid = rid_base + PIXEL
+    ID (camera: hash (rid, cam_seed, 8..11); bounces: hash (rid,
+    seed + depth*65537, 0..4)) — the mega render kernel's exact scheme, so
+    with rid_base = sample * num_pixels and equal seeds this recording
+    forward's colors are BIT-IDENTICAL to mega_render_colors, and draws
+    are shard-invariant under dp pixel sharding.  Ray gradients do not
+    exist in this mode (rays are not inputs); use mega_backward
     ray_grads=False."""
     r = pixel_ids.shape[0]
     b = pool
@@ -485,9 +519,11 @@ def mega_forward_camera(
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
+    rb = (jnp.zeros((), jnp.int32) if rid_base is None
+          else jnp.asarray(rid_base, jnp.int32))
     scal = jnp.stack(
-        [jnp.asarray(seed, jnp.int32), jnp.asarray(cam_seed, jnp.int32)]
-        + [jnp.zeros((), jnp.int32)] * 2
+        [jnp.asarray(seed, jnp.int32), jnp.asarray(cam_seed, jnp.int32),
+         rb, jnp.zeros((), jnp.int32)]
     ).reshape(1, 4)
     cam_spec = pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM)
     return _mega_call(
@@ -534,7 +570,7 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
         out_shape=out_shape,
         scratch_shapes=(
             [pltpu.VMEM((1, b), f32)] * 9
-            + [pltpu.VMEM((1, b), i32)] * 5
+            + [pltpu.VMEM((1, b), i32)] * 6
             + [pltpu.VMEM((1, br), f32)] * 6
             + [pltpu.SMEM((1, 1), i32)]
         ),

@@ -166,7 +166,11 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
             pack = mwk.build_walk_pack(culled, _np.asarray(camera.center))
         else:
             pack = mwk.walk_pack_for(scene, camera, chunk=256)
-        br = 256 if pool_size % 256 == 0 else (
+        # hardware sweep (scripts/mega_walk_bench.py, 32k spheres): br 512
+        # (1.45x over dense fused) > 256 (1.38x) — wider sub-blocks
+        # amortize the chunk DMA across more rays and the lost culling
+        # selectivity costs less than the extra fetches saved
+        br = 512 if pool_size % 512 == 0 else (
             128 if pool_size % 128 == 0 else pool_size
         )
         # pack binds as a closure constant (its chunk/n_chunks ints are

@@ -3,7 +3,9 @@ culled-fused vs the mega WALK engine (VERDICT r3 items 2/6).
 
 DRAY_SPHERES sets the field size (default 32768).  Every engine renders
 the same (reordered) scene at 1024x576 @ 8 spp depth 8 with a covering
-camera; throughput is whole-render (compile excluded via a warm-up run).
+camera.  Each engine's jitted delta function is built ONCE and timed on
+its 2nd/3rd calls (the 1st pays trace+compile) — timing through repeated
+render_progressive calls would re-trace per call and hide the kernels.
 """
 import os
 import sys
@@ -17,11 +19,7 @@ import numpy as np
 from distributed_raytracer_tpu.models.presets import random_sphere_field
 from distributed_raytracer_tpu.ops.camera import make_camera
 from distributed_raytracer_tpu.ops.pallas.culled_kernel import build_culled_scene
-from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
-    build_walk_pack,
-    render_wavefront_sum_mega_walk,
-)
-from distributed_raytracer_tpu.render.progressive import render_progressive
+from distributed_raytracer_tpu.render.progressive import _wavefront_delta_fn
 
 n_spheres = int(os.environ.get("DRAY_SPHERES", "32768"))
 spp = int(os.environ.get("DRAY_SPP", "8"))
@@ -32,50 +30,55 @@ cam = make_camera(aspect_ratio=16 / 9, image_width=1024, samples_per_pixel=spp,
                   vfov=55.0, lookfrom=(0.0, 35.0, 90.0), lookat=(0.0, 0.0, 0.0),
                   max_depth=8)
 rays = cam.num_pixels * spp
+key = jax.random.PRNGKey(0)
 print(f"{n_spheres} spheres, {cam.image_width}x{cam.image_height} @ {spp}spp "
       f"depth {cam.max_depth}; devices {jax.devices()}", flush=True)
 
 runs = {}
 
 
-def bench(name, fn):
+def bench(name, delta):
     t0 = time.time()
-    img = np.asarray(fn())
+    img = np.asarray(delta(key, spp))
     warm = time.time() - t0
-    t0 = time.time()
-    img = np.asarray(fn())
-    dt = time.time() - t0
-    runs[name] = (dt, img)
-    print(f"{name:28s} {dt*1e3:7.0f} ms ({rays/dt/1e6:6.2f} M rays/s; "
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        img = np.asarray(delta(key, spp))
+        best = min(best, time.time() - t0)
+    runs[name] = (best, img)
+    print(f"{name:30s} {best*1e3:7.0f} ms ({rays/best/1e6:6.2f} M rays/s; "
           f"first {warm:.0f}s)", flush=True)
 
 
-def prog(engine, **kw):
-    def run():
-        st = render_progressive(scene, cam, seed=0, spp=spp, batch=spp,
-                                engine=engine, **kw)
-        return st.raw_sum
-    return run
+bench("fused dense", _wavefront_delta_fn(
+    scene, cam, "fused", 16384, False, None))
+bench("fused culled+tiled+resort2", _wavefront_delta_fn(
+    scene, cam, "fused", 16384, False, None, ray_order="tiled",
+    resort_every=2, culled=culled))
+import functools
 
-
-bench("fused dense", prog("fused", pool_size=16384))
-bench("fused culled+tiled+resort2", prog("fused", pool_size=16384,
-                                         culled=culled, ray_order="tiled",
-                                         resort_every=2))
-
-pack = build_walk_pack(culled, np.asarray(cam.center))
 from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
     mega_render_budget_tight,
 )
+from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
+    build_walk_pack,
+    render_wavefront_sum_mega_walk,
+)
 
+pack = build_walk_pack(culled, np.asarray(cam.center))
 budget = mega_render_budget_tight(cam.num_pixels, cam.max_depth, 2048)
-for br in (256, 512, 1024):
-    key = jax.random.PRNGKey(0)
-    bench(f"mega-walk br{br}", lambda br=br: render_wavefront_sum_mega_walk(
-        pack, cam, key, spp, pool_size=2048, budget=budget, block_rays=br))
+for br in (256, 512):
+    f = jax.jit(
+        functools.partial(render_wavefront_sum_mega_walk, pack,
+                          budget=budget, block_rays=br),
+        static_argnames=("spp", "pool_size"),
+    )
+    bench(f"mega-walk br{br}",
+          lambda k, n, f=f: f(cam, k, spp=n, pool_size=2048))
 
 base = runs["fused dense"][0]
 for name, (dt, img) in runs.items():
     d = np.abs(img - runs["fused dense"][1]).mean() / spp
-    print(f"{name:28s} speedup {base/dt:4.2f}x  mean-img-diff {d:.4f}",
+    print(f"{name:30s} speedup {base/dt:4.2f}x  mean-img-diff {d:.4f}",
           flush=True)

@@ -1,12 +1,12 @@
 """Pool-iteration mega-kernel (ops/pallas/mega_kernel.py) + its tapegrad
 integration.
 
-Runs under the Pallas TPU interpreter on CPU.  The on-core PRNG returns
-zeros in interpret mode, which makes every scatter DETERMINISTIC — so the
-mega forward must agree ray-for-ray with the fused-kernel tape forward
-(different lane assignment, same draws), and the tape must replay and
-differentiate exactly.  RNG-dependent statistics are hardware-tier tests
-(test_tpu_hw.py).
+Runs under the Pallas TPU interpreter on CPU.  Round 4: every draw is the
+(rid, depth)-keyed hash (the render kernel's scheme), so interpret-mode
+tests see REAL noise, the tape must replay and differentiate exactly with
+that noise, and the recording CAMERA forward must agree with the mega
+RENDER kernel bit-for-bit at equal seeds (they are the same program up to
+the tape outputs).
 """
 
 import jax
@@ -86,21 +86,46 @@ def test_mega_accounting_and_replay(pool, r_cut):
     np.testing.assert_allclose(color, re_color, rtol=1e-5, atol=1e-6)
 
 
-def test_mega_matches_fused_tape_forward():
-    """Interpret-mode draws are zeros for BOTH kernels, so per-ray colors
-    must agree exactly with the round-2 fused-kernel tape forward even
-    though the lane assignment differs."""
-    scene, o, d = setup(width=16, depth=6)
-    key = jax.random.PRNGKey(5)
+def test_recording_camera_forward_equals_render_kernel():
+    """THE round-4 anchor: with draws keyed by GLOBAL (rid, depth) hash in
+    both programs, the recording camera forward (mega_forward_camera with
+    rid_base = sample * num_pixels) renders colors BIT-IDENTICAL to the
+    production mega render kernel — the fwd+bwd pipeline's forward is the
+    shipping forward, not a sibling estimator."""
+    from distributed_raytracer_tpu.ops.pallas.mega_kernel import (
+        mega_forward_camera,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        camera_scalar_row,
+        mega_render_colors,
+    )
+
+    scene, _, _ = setup()
+    cam = make_camera(
+        aspect_ratio=1.0, image_width=16, max_depth=6, vfov=30.0,
+        lookfrom=(0.0, 0.5, 2.0), lookat=(0.0, 0.0, -1.5),
+        vup=(0.0, 1.0, 0.0), defocus_angle=1.0, focus_dist=3.0,
+    )
+    n_pix = cam.num_pixels
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    s = jnp.int32(3)
+    bs, cs = jnp.int32(123456), jnp.int32(987654)
 
     with pltpu.force_tpu_interpret_mode():
-        c_mega, _, _, _ = _forward_tape_mega(scene, o, d, key, 6, 128)
-        c_fused, _, _, _ = _forward_tape(
-            scene, o, d, key, 6, 128, use_fused=True
+        render = mega_render_colors(scene, cam, s, bs, cs, pool=128,
+                                    block_rays=128)
+        out = mega_forward_camera(
+            scene, ids, bs, cs, camera_scalar_row(cam), cam.image_width,
+            cam.max_depth, pool=128, block_rays=128,
+            rid_base=s * jnp.int32(n_pix),
         )
-    np.testing.assert_allclose(
-        np.asarray(c_mega), np.asarray(c_fused), rtol=1e-5, atol=1e-6
-    )
+    # unpack the recording forward's colors from its dense positions
+    t_budget, _, b = out.tape_f.shape
+    pos = np.asarray(out.pos_cb).reshape(-1)[:n_pix]
+    flat = np.asarray(out.tape_f[:, 13:16, :].transpose(0, 2, 1)).reshape(-1, 3)
+    colors = np.where((pos >= 0)[:, None],
+                      flat[np.clip(pos, 0, t_budget * b - 1)], 0.0)
+    np.testing.assert_array_equal(colors, np.asarray(render))
 
 
 @pytest.mark.parametrize("segsum", ["scatter", "matmul"])
@@ -129,12 +154,14 @@ def test_mega_backward_matches_replay_autodiff(segsum):
         a = np.asarray(getattr(d_scene, name))
         b = np.asarray(getattr(go_scene, name))
         scale = np.abs(b).max() + 1e-8
-        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+        # 5e-4: real hash noise (round 4) exposes f32 accumulation-order
+        # differences between the stacked segment-sum and replay autodiff
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
                                    err_msg=name)
     for a, b, name in ((g_o, go_o, "ray_o"), (g_d, go_d, "ray_d")):
         scale = np.abs(np.asarray(b)).max() + 1e-8
         np.testing.assert_allclose(
-            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4,
             err_msg=name,
         )
 
