@@ -26,7 +26,10 @@ import numpy as np
 
 SPP = int(os.environ.get("DRAY_PARITY_SPP", "500"))
 SUBSET = int(os.environ.get("DRAY_PARITY_SUBSET", "1024"))
-MEAN_NPY = os.path.join(ART, f"config4_{SPP}spp_mean.npy")
+# round 4: the flagship artifact is re-earned on the SHIPPING engine (the
+# mega render kernel); DRAY_PARITY_ENGINE=fused reproduces the round-2 run
+ENGINE = os.environ.get("DRAY_PARITY_ENGINE", "mega")
+MEAN_NPY = os.path.join(ART, f"config4_{SPP}spp_{ENGINE}_mean.npy")
 
 
 def tpu_phase():
@@ -38,11 +41,12 @@ def tpu_phase():
 
     scene, cam = config4()
     cam = cam.replace(samples_per_pixel=SPP)
-    ck = os.path.join(ART, f"config4_{SPP}spp.ckpt")
+    ck = os.path.join(ART, f"config4_{SPP}spp_{ENGINE}.ckpt")
     t0 = time.time()
     state = render_progressive(
-        scene, cam, seed=0, spp=SPP, batch=50, engine="fused",
-        pool_size=16384, checkpoint_path=ck,  # tuned pool (DESIGN §2)
+        scene, cam, seed=0, spp=SPP, batch=50, engine=ENGINE,
+        pool_size=2048 if ENGINE == "mega" else 16384,
+        checkpoint_path=ck,  # tuned pools (DESIGN §2 / §13)
         progress_cb=lambda st: print(
             f"  {st.samples_done}/{SPP} samples, {time.time()-t0:.0f}s", flush=True
         ),
@@ -51,11 +55,13 @@ def tpu_phase():
     rays = cam.num_pixels * SPP
     print(f"render: {rays:,} rays in {el:.0f}s -> {rays/el:,.0f} rays/s", flush=True)
     img = state.mean_image()
-    write_ppm(os.path.join(ART, f"config4_{SPP}spp.ppm"), img)
+    write_ppm(os.path.join(ART, f"config4_{SPP}spp_{ENGINE}.ppm"), img)
     np.save(MEAN_NPY, img)
 
     # profiler trace of one batch (best effort through the axon tunnel)
     try:
+        if ENGINE != "fused":
+            raise RuntimeError("trace capture is wired for the fused engine")
         import jax.profiler
 
         from distributed_raytracer_tpu.render.wavefront import render_wavefront_sum_fused
