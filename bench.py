@@ -170,6 +170,7 @@ def main():
         tracer = make_tape_camera_tracer(
             jax.random.PRNGKey(1), camera, pool=grad_pool,
             budget=grad_budget, block_rays=512, mega_pad=2,
+            iota_pix=True,  # ids == arange(num_pixels): no pixel-table scan
         )
 
         @jax.jit

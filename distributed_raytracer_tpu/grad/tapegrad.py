@@ -426,19 +426,14 @@ def _forward_tape_camera_raw(
         camera.image_width, camera.max_depth, pool=b, budget=(budget or 0),
         block_rays=block_rays, pad_rows=pad_rows,
     )
-    t_budget = out.tape_f.shape[0]
     fdata = out.tape_f.transpose(0, 2, 1)
     idata = out.tape_i[:, :3, :].transpose(0, 2, 1)
     tape = _Tape(fdata=fdata, idata=idata)
     pos = out.pos_cb.reshape(-1)[:r]
-    truncated = out.clean == 0
-    flat_contrib = fdata[:, :, 13:16].reshape(t_budget * b, 3)
-    flat_contrib = jnp.where(truncated, jnp.nan, flat_contrib)
-    color = jnp.where(
-        (pos >= 0)[:, None],
-        flat_contrib[jnp.clip(pos, 0, t_budget * b - 1)],
-        0.0,
-    )
+    # camera mode emits DENSE [C, B] color homes — per-ray colors by pure
+    # reshape, no tape-flat gather; truncation still NaN-poisons (loud)
+    color = jnp.where(out.clean == 0, jnp.nan,
+                      out.colors.reshape(-1, 3)[:r])
     return color, tape, out.n_it, pos
 
 
@@ -826,6 +821,7 @@ def make_tape_camera_tracer(
     budget: Optional[int] = None,
     block_rays: int = 512,
     mega_pad: int = 2,
+    iota_pix: bool = False,
 ):
     """PRODUCTION fwd+bwd tracer with camera-mode primary rays: f(scene,
     pixel_ids [R] i32, k=None) -> colors [R, 3], scene-differentiable.
@@ -867,17 +863,13 @@ def make_tape_camera_tracer(
         out = mega_forward_camera(
             scene, pixel_ids, seed, cam_seed, cam_row, w, depth, pool=b,
             budget=(budget or 0), block_rays=block_rays, pad_rows=mega_pad,
+            iota_pix=iota_pix,
         )
-        t_budget = out.tape_f.shape[0]
-        pos = out.pos_cb.reshape(-1)[:r]
-        truncated = out.clean == 0
-        flat = out.tape_f[:, 13:16, :].transpose(0, 2, 1).reshape(-1, 3)
-        flat = jnp.where(truncated, jnp.nan, flat)
-        color = jnp.where(
-            (pos >= 0)[:, None],
-            flat[jnp.clip(pos, 0, t_budget * b - 1)],
-            0.0,
-        )
+        # dense [C, B] color homes: per-ray colors by pure reshape — the
+        # tape-flat HBM gather this replaces cost ~13 ns/ray (several ms
+        # at the production 810k-ray batch); truncation NaN-poisons
+        color = jnp.where(out.clean == 0, jnp.nan,
+                          out.colors.reshape(-1, 3)[:r])
         return color, out
 
     @jax.custom_vjp

@@ -86,6 +86,9 @@ class MegaOut(NamedTuple):
     # mega backward's dense primary-cotangent rows hold its d_o/d_d)
     n_it: jnp.ndarray    # scalar i32 rows recorded
     clean: jnp.ndarray   # scalar i32: 1 = all rays accounted (no truncation)
+    colors: jnp.ndarray = None  # camera mode only: [C, B, 3] f32 dense
+    # color homes (ray c*B+lane at [c, lane]) — per-ray colors WITHOUT the
+    # tape-flat gather; None in ray mode
 
 
 # tape_f sublane indices (matches grad/tapegrad._Tape's fdata column order)
@@ -100,6 +103,7 @@ def _mega_kernel(
     *refs,
     r: int, b: int, br: int, c_rows: int, max_depth: int,
     pad_rows: int, camera_mode: bool = False, w: int = 0,
+    iota_pix: bool = False,
 ):
     """Body shared by the ray-table and camera modes.
 
@@ -126,13 +130,19 @@ def _mega_kernel(
     oracle exact on every backend.
     """
     if camera_mode:
+        # camera mode adds DENSE [C, B] color-home outputs (the render
+        # kernel's drain) + pending-color scratch: per-ray colors come
+        # out positionally instead of through a tape-flat HBM gather
+        # (~13 ns/row — several ms at production ray counts); rpos_o is
+        # init-filled but never updated (no ray grads in this mode)
         (cam_ref, pix_tab,
          cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
-         tf_o, ti_o, pos_o, rpos_o, meta_o,
+         tf_o, ti_o, col_r, col_g, col_b, pos_o, rpos_o, meta_o,
          sox, soy, soz, sdx, sdy, sdz,
          sar, sag, sab,
          scur, snext, sdepth, slive, sfin, spix,
          rbx, rby, rbz, rcx, rcy, rcz,
+         ccr, ccg, ccb,
          done_s) = refs
     else:
         (tox, toy, toz, tdx, tdy, tdz,
@@ -161,6 +171,11 @@ def _mega_kernel(
         meta_o[0, 1] = 0
         pos_o[:] = jnp.full_like(pos_o, -1)
         rpos_o[:] = jnp.full_like(rpos_o, -1)
+        if camera_mode:
+            ccr[:], ccg[:], ccb[:] = z, z, z
+            col_r[:] = jnp.zeros_like(col_r)
+            col_g[:] = jnp.zeros_like(col_g)
+            col_b[:] = jnp.zeros_like(col_b)
 
     @pl.when(done_s[0, 0] == 0)
     def _row():
@@ -183,10 +198,16 @@ def _mega_kernel(
                     camera_ray_rows,
                 )
 
-                pix = jnp.sum(
-                    jnp.where(rows_i == cnext, pix_tab[:], 0),
-                    axis=0, keepdims=True,
-                )
+                if iota_pix:
+                    # pixel_ids == arange(R): pixel = ray index, no table
+                    # scan (the full-image production shape — saves a
+                    # [C, B] one-hot fetch per refill row)
+                    pix = jnp.minimum(cnext * b + lane, r - 1)
+                else:
+                    pix = jnp.sum(
+                        jnp.where(rows_i == cnext, pix_tab[:], 0),
+                        axis=0, keepdims=True,
+                    )
                 # GLOBAL pixel identity keys the camera draws — the render
                 # kernel's exact keying (rid_base + pix), so the recording
                 # forward's primaries are bit-identical to the render
@@ -221,9 +242,12 @@ def _mega_kernel(
             slive[:] = (live0 | tk).astype(i32)
             snext[:] = cnext + tk.astype(i32)
             # record WHERE each ray was refilled (dense, like pos_o): the
-            # mega backward's dense d_o/d_d rows are gathered here
-            sel_take = (rows_i == cnext) & tk
-            rpos_o[:] = jnp.where(sel_take, it * b + lane, rpos_o[:])
+            # mega backward's dense d_o/d_d rows are gathered here.  Camera
+            # mode has no ray inputs, hence no ray grads — skip the update
+            # (rpos_o keeps its init fill, never read)
+            if not camera_mode:
+                sel_take = (rows_i == cnext) & tk
+                rpos_o[:] = jnp.where(sel_take, it * b + lane, rpos_o[:])
 
         # --- post-refill state (source of truth: scratch) ---
         ox, oy, oz = sox[:], soy[:], soz[:]
@@ -299,6 +323,10 @@ def _mega_kernel(
                 | (take[:, sl].astype(i32) << 2)
                 | (fin_b.astype(i32) << 3)
             )
+            if camera_mode:
+                ccr[0, sl] = jnp.where(fin_b, ar[:, sl] * cor, ccr[:, sl])[0]
+                ccg[0, sl] = jnp.where(fin_b, ag[:, sl] * cog, ccg[:, sl])[0]
+                ccb[0, sl] = jnp.where(fin_b, ab[:, sl] * cob, ccb[:, sl])[0]
 
             # state update (shade outputs are already keep-merged; atten is
             # exactly 1.0 on non-kept lanes)
@@ -324,6 +352,10 @@ def _mega_kernel(
         rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
         sel_fin = (rows_i == c_cur) & fin_full
         pos_o[:] = jnp.where(sel_fin, it * b + lane, pos_o[:])
+        if camera_mode:
+            col_r[:] = jnp.where(sel_fin, ccr[:], col_r[:])
+            col_g[:] = jnp.where(sel_fin, ccg[:], col_g[:])
+            col_b[:] = jnp.where(sel_fin, ccb[:], col_b[:])
 
         # --- termination (+ parity pad so n_it % pad_rows == 0: the extra
         # rows run with every lane idle and record as pass-through) ---
@@ -464,7 +496,7 @@ def mega_forward(
 @functools.partial(
     jax.jit,
     static_argnames=("w", "max_depth", "pool", "budget", "block_rays",
-                     "pad_rows"),
+                     "pad_rows", "iota_pix"),
 )
 def mega_forward_camera(
     scene: Scene,
@@ -479,6 +511,7 @@ def mega_forward_camera(
     block_rays: int = 512,
     pad_rows: int = 2,
     rid_base=None,
+    iota_pix: bool = False,
 ) -> MegaOut:
     """Camera-mode recording forward: primary rays are generated IN-KERNEL
     from pixel ids + 24 SMEM camera scalars at refill (the mega render
@@ -531,26 +564,30 @@ def mega_forward_camera(
         scene_cols, attrs,
         r=r, b=b, br=br, c_rows=c_rows, max_depth=max_depth,
         pad_rows=pad_rows, t_budget=t_budget, m=m,
-        camera_mode=True, w=w,
+        camera_mode=True, w=w, iota_pix=iota_pix,
     )
 
 
 def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
                r, b, br, c_rows, max_depth, pad_rows, t_budget, m,
-               camera_mode, w):
-    """Shared pallas_call construction for both mega-forward modes."""
+               camera_mode, w, iota_pix=False):
+    """Shared pallas_call construction for both mega-forward modes.
+    Camera mode adds three dense [C, B] color-home outputs (and their
+    pending-color scratch rows) — see _mega_kernel."""
     f32, i32 = jnp.float32, jnp.int32
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
+    n_col = 3 if camera_mode else 0
     out_specs = (
         [pl.BlockSpec((1, 16, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
          pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-        + [whole((c_rows, b))] * 2
+        + [whole((c_rows, b))] * (n_col + 2)
         + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     )
     out_shape = (
         [jax.ShapeDtypeStruct((t_budget, 16, b), f32),
          jax.ShapeDtypeStruct((t_budget, 8, b), i32)]
+        + [jax.ShapeDtypeStruct((c_rows, b), f32)] * n_col
         + [jax.ShapeDtypeStruct((c_rows, b), i32)] * 2
         + [jax.ShapeDtypeStruct((1, 2), i32)]
     )
@@ -558,7 +595,7 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
         functools.partial(
             _mega_kernel, r=r, b=b, br=br, c_rows=c_rows,
             max_depth=max_depth, pad_rows=pad_rows,
-            camera_mode=camera_mode, w=w,
+            camera_mode=camera_mode, w=w, iota_pix=iota_pix,
         ),
         grid=(t_budget,),
         in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
@@ -572,10 +609,16 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
             [pltpu.VMEM((1, b), f32)] * 9
             + [pltpu.VMEM((1, b), i32)] * 6
             + [pltpu.VMEM((1, br), f32)] * 6
+            + [pltpu.VMEM((1, b), f32)] * n_col
             + [pltpu.SMEM((1, 1), i32)]
         ),
     )(scal, *mode_inputs, *scene_cols, attrs)
-    tape_f, tape_i, pos_cb, rpos_cb, meta = outs
+    if camera_mode:
+        tape_f, tape_i, cr, cg, cb, pos_cb, rpos_cb, meta = outs
+        colors = jnp.stack([cr, cg, cb], axis=-1)
+    else:
+        tape_f, tape_i, pos_cb, rpos_cb, meta = outs
+        colors = None
     return MegaOut(
         tape_f=tape_f,
         tape_i=tape_i,
@@ -583,4 +626,5 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
         rpos_cb=rpos_cb,
         n_it=meta[0, 0],
         clean=meta[0, 1],
+        colors=colors,
     )
