@@ -853,7 +853,7 @@ def make_tape_camera_tracer(
     w = camera.image_width
     cam_row = camera_scalar_row(camera)
 
-    def run_fwd_raw(scene, pixel_ids, k):
+    def run_fwd_raw(scene, pixel_ids, k, pix0):
         r = pixel_ids.shape[0]
         b = min(pool, -(-r // 128) * 128)
         seed = jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
@@ -863,7 +863,7 @@ def make_tape_camera_tracer(
         out = mega_forward_camera(
             scene, pixel_ids, seed, cam_seed, cam_row, w, depth, pool=b,
             budget=(budget or 0), block_rays=block_rays, pad_rows=mega_pad,
-            iota_pix=iota_pix,
+            iota_pix=iota_pix, pix0=pix0,
         )
         # dense [C, B] color homes: per-ray colors by pure reshape — the
         # tape-flat HBM gather this replaces cost ~13 ns/ray (several ms
@@ -873,12 +873,12 @@ def make_tape_camera_tracer(
         return color, out
 
     @jax.custom_vjp
-    def traced_k(scene, pixel_ids, k):
-        color, _ = run_fwd_raw(scene, pixel_ids, k)
+    def traced_k(scene, pixel_ids, k, pix0):
+        color, _ = run_fwd_raw(scene, pixel_ids, k, pix0)
         return color
 
-    def traced_fwd(scene, pixel_ids, k):
-        color, out = run_fwd_raw(scene, pixel_ids, k)
+    def traced_fwd(scene, pixel_ids, k, pix0):
+        color, out = run_fwd_raw(scene, pixel_ids, k, pix0)
         return color, (scene, out)
 
     def traced_bwd(res, g_color):
@@ -901,12 +901,15 @@ def make_tape_camera_tracer(
         d_ids = _np.zeros(res[1].pos_cb.shape[0] * res[1].pos_cb.shape[1],
                           dtype=jax.dtypes.float0)[: g_color.shape[0]]
         d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)
-        return d_scene, d_ids, d_k
+        d_p0 = _np.zeros((), dtype=jax.dtypes.float0)
+        return d_scene, d_ids, d_k, d_p0
 
     traced_k.defvjp(traced_fwd, traced_bwd)
 
-    def traced(scene, pixel_ids, k=None):
-        return traced_k(scene, pixel_ids, key if k is None else k)
+    def traced(scene, pixel_ids, k=None, pix0=None):
+        return traced_k(scene, pixel_ids, key if k is None else k,
+                        jnp.zeros((), jnp.int32) if pix0 is None
+                        else jnp.asarray(pix0, jnp.int32))
 
     return traced
 

@@ -199,10 +199,11 @@ def _mega_kernel(
                 )
 
                 if iota_pix:
-                    # pixel_ids == arange(R): pixel = ray index, no table
-                    # scan (the full-image production shape — saves a
-                    # [C, B] one-hot fetch per refill row)
-                    pix = jnp.minimum(cnext * b + lane, r - 1)
+                    # pixel_ids == pix0 + arange(R): pixel = offset + ray
+                    # index, no table scan (the full-image / contiguous-
+                    # shard production shapes — saves a [C, B] one-hot
+                    # fetch per refill row)
+                    pix = scal_ref[0, 3] + jnp.minimum(cnext * b + lane, r - 1)
                 else:
                     pix = jnp.sum(
                         jnp.where(rows_i == cnext, pix_tab[:], 0),
@@ -512,6 +513,7 @@ def mega_forward_camera(
     pad_rows: int = 2,
     rid_base=None,
     iota_pix: bool = False,
+    pix0=None,
 ) -> MegaOut:
     """Camera-mode recording forward: primary rays are generated IN-KERNEL
     from pixel ids + 24 SMEM camera scalars at refill (the mega render
@@ -554,9 +556,11 @@ def mega_forward_camera(
                                        memory_space=pltpu.VMEM)
     rb = (jnp.zeros((), jnp.int32) if rid_base is None
           else jnp.asarray(rid_base, jnp.int32))
+    p0 = (jnp.zeros((), jnp.int32) if pix0 is None
+          else jnp.asarray(pix0, jnp.int32))
     scal = jnp.stack(
         [jnp.asarray(seed, jnp.int32), jnp.asarray(cam_seed, jnp.int32),
-         rb, jnp.zeros((), jnp.int32)]
+         rb, p0]
     ).reshape(1, 4)
     cam_spec = pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM)
     return _mega_call(

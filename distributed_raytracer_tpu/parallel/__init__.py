@@ -11,6 +11,7 @@ from distributed_raytracer_tpu.parallel.sharded import (  # noqa: F401
     make_fused_dp_render,
     make_mega_dp_render,
     make_sharded_grad_fn,
+    make_tape_camera_dp_tracer,
     make_tape_dp_tracer,
 )
 from distributed_raytracer_tpu.parallel.scene_sharded import (  # noqa: F401

@@ -248,6 +248,64 @@ def make_tape_dp_tracer(
     )
 
 
+def make_tape_camera_dp_tracer(
+    mesh: Mesh,
+    key: jax.Array,
+    camera: Camera,
+    pool: int = 2048,
+    budget=None,
+    block_rays: int = 512,
+    mega_pad: int = 2,
+):
+    """The round-4 PRODUCTION fwd+bwd path (the CAMERA tape tracer —
+    recording twin of the shipping render engine) data-parallel over the
+    mesh "rays" axis: each device records + differentiates its contiguous
+    pixel shard as single Pallas programs under shard_map.
+
+    Because every draw is keyed by GLOBAL (pixel, depth) hash, all
+    devices share ONE key (no axis folding): the sharded COLORS are
+    BIT-IDENTICAL to the single-device camera tracer on the full image,
+    and the scene gradients match up to the shard_map transpose's psum
+    order.  The only collective in the whole fwd+bwd step is that scene
+    cotangent psum — exactly the reference's object-server reduction role
+    (object_server.rs:34-38) as one ICI collective.
+
+    Returns f(scene) -> colors [padded_pixels, 3] sharded over "rays"
+    (slice to camera.num_pixels); differentiable w.r.t. scene.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_camera_tracer
+
+    n_shards = mesh.shape[RAYS_AXIS]
+    n_pix = camera.num_pixels
+    s_loc = pad_to_multiple(n_pix, n_shards) // n_shards
+    tracer = make_tape_camera_tracer(
+        key, camera, pool=min(pool, pad_to_multiple(s_loc, 128)),
+        budget=budget, block_rays=block_rays, mega_pad=mega_pad,
+        iota_pix=True,
+    )
+    # shape-only carrier: with iota_pix the kernel derives pixels from
+    # pix0 + arange(s_loc); ids content is never read
+    ids_stub = jnp.zeros((s_loc,), jnp.int32)
+
+    def local(scene):
+        i = jax.lax.axis_index(RAYS_AXIS)
+        pix0 = (i * s_loc).astype(jnp.int32)
+        # shards past the image tail re-render clamped pixels; sliced off
+        # by the caller (colors for pixel p come from the shard owning p)
+        return tracer(scene, ids_stub, pix0=jnp.minimum(pix0, n_pix - 1))
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )
+
+
 def make_mega_dp_render(
     mesh: Mesh,
     camera: Camera,

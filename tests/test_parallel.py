@@ -563,3 +563,54 @@ def test_tape_dp_tracer_mega_exact_match_and_grads():
         a, b = np.asarray(getattr(g_dp, name)), g_ref[name]
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)
+
+
+def test_tape_camera_dp_tracer_bit_identical_and_grads():
+    """The round-4 production fwd+bwd path on the mesh: the CAMERA tape
+    tracer per device pixel shard (make_tape_camera_dp_tracer).  Draws are
+    keyed by GLOBAL (pixel, depth) hash and all devices share one key, so
+    the sharded colors are BIT-IDENTICAL to the single-device camera
+    tracer on the full image; scene grads agree to psum reassociation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from distributed_raytracer_tpu.grad.tapegrad import make_tape_camera_tracer
+    from distributed_raytracer_tpu.parallel.sharded import (
+        make_tape_camera_dp_tracer,
+    )
+
+    scene, _ = scene_and_cam()
+    cam = make_camera(
+        aspect_ratio=16.0 / 9.0, image_width=32, samples_per_pixel=1,
+        max_depth=5, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), vup=(0.0, 1.0, 0.0),
+        defocus_angle=2.0, focus_dist=10.0,
+    )
+    n_pix = cam.num_pixels
+    key = jax.random.PRNGKey(17)
+
+    single = make_tape_camera_tracer(key, cam, pool=128, block_rays=128,
+                                     iota_pix=True)
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    mesh = make_mesh()
+    dp = make_tape_camera_dp_tracer(mesh, key, cam, pool=128, block_rays=128)
+
+    with pltpu.force_tpu_interpret_mode():
+        c_single = np.asarray(single(scene, ids))
+        c_dp = np.asarray(jax.jit(dp)(scene))[:n_pix]
+    np.testing.assert_array_equal(c_dp, c_single)
+
+    def loss_single(s):
+        return jnp.sum(single(s, ids) ** 2)
+
+    def loss_dp(s):
+        return jnp.sum(dp(s)[:n_pix] ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_s = jax.grad(loss_single, allow_int=True)(scene)
+        g_d = jax.grad(loss_dp, allow_int=True)(scene)
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(g_d, name))
+        b = np.asarray(getattr(g_s, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-6,
+                                   err_msg=name)
