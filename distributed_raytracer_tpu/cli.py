@@ -244,6 +244,7 @@ def cmd_render(args):
             use_pallas=args.pallas,
             intersect_fn=intersect_fn,
             fill=args.fill,
+            fill_chunk=args.fill_chunk,
             fill_cb=fill_cb,
             ray_order=ray_order,
             resort_every=args.resort,
@@ -602,6 +603,11 @@ def main(argv=None):
     p.add_argument("--fill", choices=["row", "shuffled"], default="row",
                    help="shuffled = sample-0 progressive fill-in in shuffled "
                         "pixel order (CameraRayIterator parity)")
+    p.add_argument("--fill-chunk", type=int, default=16384,
+                   help="pixels per shuffled-fill chunk = the live repaint "
+                        "granularity (the reference repaints per pixel "
+                        "sample, colors.rs:26-46; small chunks approach "
+                        "that at a host-roundtrip cost per chunk)")
     p.add_argument("--wavefront", action="store_true",
                    help="(deprecated) same as --engine wavefront")
     p.add_argument("--pallas", action="store_true",

@@ -131,30 +131,43 @@ def _mega_walk_kernel(
     #                                  rid_base n_valid pix0 (pad)
     cam_ref,                         # (1, 24) SMEM f32 camera scalars
     bounds_ref,                      # [c_pad, LANE] VMEM visit-order bounds
-    scene_ref,                       # [N, LANE] HBM sweep cols
-    attrs_ref,                       # [n_chunks*48, chunk] HBM bf16
-    # --- outputs ---
-    col_r, col_g, col_b,             # [C, B] f32
-    meta_o,                          # (1, 2) SMEM i32: n_it, clean
-    # --- scratch ---
-    sox, soy, soz, sdx, sdy, sdz,    # (1, B) f32 pool state
-    sar, sag, sab,                   # (1, B) f32
-    scur, snext, sdepth, slive, sfin,  # (1, B) i32
-    rbx, rby, rbz, rcx, rcy, rcz,    # (1, BR) f32 rebase buffers
-    ccr, ccg, ccb,                   # (1, B) f32 pending finish colors
-    t_w,                             # (1, BR) f32 best-t carry
-    rfl,                             # (1, BR) f32 live-lane gate (+BIG live,
-    #                                  -BIG dead: dead lanes never flag a
-    #                                  chunk; routed through scratch so the
-    #                                  flag test's (1,BR)->(G,BR) broadcast
-    #                                  sees an offset-0 layout — Mosaic
-    #                                  rejects broadcasting lane-sliced rows)
-    w_ref,                           # (16, BR) f32 winner-attr carry
-    sbuf, ssem, abuf, asem,          # double-buffered chunk DMA
-    done_s,                          # (1, 1) SMEM i32
-    *, b: int, br: int, c_rows: int, max_depth: int, w: int,
-    chunk: int, n_chunks: int,
+    *refs,
+    # with use_pix_tab, a [C, B] i32 pixel table precedes scene_ref in
+    # refs: lane q renders pixel pix_tab[q // B, q % B] (a TILE
+    # permutation makes each br sub-block a 2D image tile — frustum
+    # coherence for the walk's flag tests); draws stay keyed by GLOBAL
+    # pixel, so the permutation cannot change the image, only the culling
+    # rate.  refs then: scene [N,LANE] HBM, attrs HBM, outputs (col_r/g/b
+    # [C,B] f32 + meta SMEM), scratch (pool rows; spix = pixel of the
+    # current ray per lane; rebase buffers; pending colors; t_w best-t;
+    # rfl live-lane gate (+BIG live, -BIG dead — routed through scratch so
+    # the flag test's (1,BR)->(G,BR) broadcast sees an offset-0 layout);
+    # w_ref winner carry; double-buffered chunk DMA; done flag).
+    b: int, br: int, c_rows: int, max_depth: int, w: int,
+    chunk: int, n_chunks: int, use_pix_tab: bool = False,
 ):
+    if use_pix_tab:
+        (pix_tab, scene_ref, attrs_ref,
+         col_r, col_g, col_b, meta_o,
+         sox, soy, soz, sdx, sdy, sdz,
+         sar, sag, sab,
+         scur, snext, sdepth, slive, sfin, spix,
+         rbx, rby, rbz, rcx, rcy, rcz,
+         ccr, ccg, ccb,
+         t_w, rfl, w_ref,
+         sbuf, ssem, abuf, asem,
+         done_s) = refs
+    else:
+        (scene_ref, attrs_ref,
+         col_r, col_g, col_b, meta_o,
+         sox, soy, soz, sdx, sdy, sdz,
+         sar, sag, sab,
+         scur, snext, sdepth, slive, sfin, spix,
+         rbx, rby, rbz, rcx, rcy, rcz,
+         ccr, ccg, ccb,
+         t_w, rfl, w_ref,
+         sbuf, ssem, abuf, asem,
+         done_s) = refs
     it = pl.program_id(0)
     i32 = jnp.int32
 
@@ -167,6 +180,7 @@ def _mega_walk_kernel(
         sdx[:], sdy[:], sdz[:] = one, one, one  # nonzero dir pre-refill
         sar[:], sag[:], sab[:] = one, one, one
         scur[:], snext[:], sdepth[:], slive[:], sfin[:] = zi, zi, zi, zi, zi
+        spix[:] = zi
         ccr[:], ccg[:], ccb[:] = z, z, z
         done_s[0, 0] = 0
         meta_o[0, 0] = 0
@@ -193,7 +207,15 @@ def _mega_walk_kernel(
         # shared with the dense mega render kernel — IDENTICAL draws ---
         @pl.when(n_take > 0)
         def _refill():
-            pix = pix0 + jnp.minimum(cnext * b + lane, n_valid - 1)
+            if use_pix_tab:
+                rows_cb = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
+                pix = jnp.sum(
+                    jnp.where(rows_cb == cnext, pix_tab[:], 0),
+                    axis=0, keepdims=True,
+                )
+            else:
+                pix = pix0 + jnp.minimum(cnext * b + lane, n_valid - 1)
+            spix[:] = jnp.where(take, pix, spix[:])
             rid = rid_base + pix
             ox_new, oy_new, oz_new, dx_new, dy_new, dz_new = camera_ray_rows(
                 cam_ref, pix, rid, cam_seed, w
@@ -218,7 +240,10 @@ def _mega_walk_kernel(
         ar, ag, ab = sar[:], sag[:], sab[:]
         live = slive[:] > 0
         c_cur = scur[:]
-        rid_full = rid_base + pix0 + c_cur * b + lane
+        # draws key on the GLOBAL pixel of each lane's CURRENT ray (spix)
+        # — identical in both pix modes for live lanes, so a pixel
+        # permutation cannot change the image
+        rid_full = rid_base + spix[:]
         dep_full = sdepth[:]
 
         # iota must span lanes on Mosaic; build [G, LANE] then slice
@@ -418,11 +443,19 @@ def mega_walk_sample(
     pix0=None,
     n_valid=None,
     n_global=None,
+    pix_tab=None,
 ) -> MegaRenderOut:
     """Render ONE full image sample against a WalkPack's arrays as one
     pallas_call.  Same contract as mega_render_kernel.mega_render_sample
     (shard-mode pix0/n_valid/n_global included); scene arrives as the
-    visit-ordered HBM pack instead of resident VMEM columns."""
+    visit-ordered HBM pack instead of resident VMEM columns.
+
+    pix_tab: optional [C, B] i32 pixel table — lane q renders pixel
+    pix_tab[q // B, q % B] instead of pixel q (a tile permutation, for
+    frustum-coherent sub-blocks).  Draws key on the global pixel, so the
+    image content per PIXEL is unchanged; only the lane->pixel layout
+    (and thus the color-home order, which the caller un-permutes) and the
+    culling rate change.  Mutually exclusive with shard mode (pix0)."""
     b = pool
     if b % LANE:
         raise ValueError(f"pool must be a multiple of {LANE}")
@@ -449,16 +482,23 @@ def mega_walk_sample(
     ).reshape(1, 6)
 
     c_pad = bounds.shape[0]
+    use_pix_tab = pix_tab is not None
+    tab_ops = [pix_tab] if use_pix_tab else []
+    tab_specs = [whole((c_rows, b))] if use_pix_tab else []
     outs = pl.pallas_call(
         functools.partial(
             _mega_walk_kernel, b=b, br=br, c_rows=c_rows,
             max_depth=max_depth, w=w, chunk=chunk, n_chunks=n_chunks,
+            use_pix_tab=use_pix_tab,
         ),
         grid=(t_budget,),
         in_specs=[
             pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
             whole((c_pad, LANE)),
+        ]
+        + tab_specs
+        + [
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -472,7 +512,7 @@ def mega_walk_sample(
         ),
         scratch_shapes=(
             [pltpu.VMEM((1, b), f32)] * 9
-            + [pltpu.VMEM((1, b), i32)] * 5
+            + [pltpu.VMEM((1, b), i32)] * 6
             + [pltpu.VMEM((1, br), f32)] * 6
             + [pltpu.VMEM((1, b), f32)] * 3
             + [pltpu.VMEM((1, br), f32)] * 2
@@ -485,7 +525,7 @@ def mega_walk_sample(
             ]
             + [pltpu.SMEM((1, 1), i32)]
         ),
-    )(scal, cam_row, bounds, scene_pack, attrs)
+    )(scal, cam_row, bounds, *tab_ops, scene_pack, attrs)
     cr, cg, cb, meta = outs
     return MegaRenderOut(
         colors=jnp.stack([cr, cg, cb], axis=-1),
@@ -507,16 +547,22 @@ def mega_walk_colors(
     pix0=None,
     n_valid=None,
     n_global=None,
+    pix_tab=None,
+    inv_perm=None,
 ) -> jnp.ndarray:
     """Per-pixel colors [n_cap, 3] for one image sample, with the same
     lax.cond truncation fallback as mega_render_colors (bit-identical —
-    draws are (rid, depth)-keyed)."""
+    draws are (rid, depth)-keyed).
+
+    pix_tab + inv_perm: tiled lane->pixel permutation (see
+    mega_walk_sample); colors are un-permuted with inv_perm so the return
+    stays pixel-ordered."""
     n_cap = n_cap or camera.num_pixels
     w = camera.image_width
     kw = dict(n_pix=n_cap, w=w, max_depth=camera.max_depth,
               chunk=pack.chunk, n_chunks=pack.n_chunks, pool=pool,
               block_rays=block_rays, pix0=pix0, n_valid=n_valid,
-              n_global=n_global)
+              n_global=n_global, pix_tab=pix_tab)
     cam_row = camera_scalar_row(camera)
     args = (pack.scene_pack, pack.attrs, pack.bounds, cam_row, sample,
             bounce_seed, cam_seed)
@@ -530,7 +576,29 @@ def mega_walk_colors(
         )
     else:
         colors = out.colors
-    return colors.reshape(-1, 3)[:n_cap]
+    flat = colors.reshape(-1, 3)
+    if inv_perm is not None:
+        return flat[inv_perm]
+    return flat[:n_cap]
+
+
+def tile_pix_tables(camera: Camera, pool: int):
+    """(pix_tab [C, B] i32, inv_perm [n_pix] i32) for the tiled
+    lane->pixel mapping (render/order.tile_permutation 32x16 tiles = one
+    br-512 sub-block each).  Padding stream positions map to the last
+    pixel (never taken: has_next masks positions >= n_pix)."""
+    from distributed_raytracer_tpu.render.order import (
+        inverse_permutation,
+        tile_permutation,
+    )
+
+    n_pix = camera.num_pixels
+    perm = tile_permutation(camera.image_width, camera.image_height)
+    c_rows = _c_rows(n_pix, pool)
+    pad = c_rows * pool - n_pix
+    tab = np.concatenate([perm, np.full(pad, perm[-1], np.int32)])
+    return (jnp.asarray(tab.reshape(c_rows, pool)),
+            jnp.asarray(inverse_permutation(perm)))
 
 
 def render_wavefront_sum_mega_walk(
@@ -541,6 +609,7 @@ def render_wavefront_sum_mega_walk(
     pool_size: int = 2048,
     budget: int = 0,
     block_rays: int = 256,
+    tiled: bool = False,
 ) -> jnp.ndarray:
     """Color SUM image [n_pix, 3] for spp samples on the mega-walk engine
     — drop-in for render_wavefront_sum_mega at multi-chunk scene scale.
@@ -554,10 +623,14 @@ def render_wavefront_sum_mega_walk(
         jnp.int32,
     )
 
+    pix_tab, inv_perm = (tile_pix_tables(camera, pool_size) if tiled
+                         else (None, None))
+
     def one(s):
         return mega_walk_colors(
             pack, camera, s, bounce_seed, cam_seed, pool=pool_size,
-            budget=budget, block_rays=block_rays,
+            budget=budget, block_rays=block_rays, pix_tab=pix_tab,
+            inv_perm=inv_perm,
         )
 
     per_sample = jax.lax.map(one, jnp.arange(spp, dtype=jnp.int32))

@@ -68,14 +68,14 @@ from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
 
 pack = build_walk_pack(culled, np.asarray(cam.center))
 budget = mega_render_budget_tight(cam.num_pixels, cam.max_depth, 2048)
-for br in (256, 512):
+for br, tiled in ((256, False), (512, False), (512, True), (256, True)):
     f = jax.jit(
         functools.partial(render_wavefront_sum_mega_walk, pack,
-                          budget=budget, block_rays=br),
+                          budget=budget, block_rays=br, tiled=tiled),
         static_argnames=("spp", "pool_size"),
     )
-    bench(f"mega-walk br{br}",
-          lambda k, n, f=f: f(cam, k, spp=n, pool_size=2048))
+    tag = f"mega-walk br{br}" + ("+tiled" if tiled else "")
+    bench(tag, lambda k, n, f=f: f(cam, k, spp=n, pool_size=2048))
 
 base = runs["fused dense"][0]
 for name, (dt, img) in runs.items():

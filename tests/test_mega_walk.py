@@ -179,3 +179,18 @@ def test_walk_spp_sum_matches_mega_engine(setup):
         walk = render_wavefront_sum_mega_walk(pack, camera, key, 2,
                                               pool_size=128, block_rays=128)
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(walk))
+
+
+def test_walk_tiled_permutation_bit_identical(setup):
+    """Tiled lane->pixel permutation (pix_tab): draws key on the GLOBAL
+    pixel, so the rendered image is bit-identical to the untiled walk —
+    tiling is a pure culling-rate knob."""
+    scene, camera, pack = setup
+    key = jax.random.PRNGKey(11)
+    with pltpu.force_tpu_interpret_mode():
+        plain = render_wavefront_sum_mega_walk(pack, camera, key, 2,
+                                               pool_size=128, block_rays=128)
+        tiled = render_wavefront_sum_mega_walk(pack, camera, key, 2,
+                                               pool_size=128, block_rays=128,
+                                               tiled=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(tiled))
