@@ -444,3 +444,72 @@ def test_mega_dp_shard_map_on_hardware():
         jax.jit(render)(scene, bs, cs, jnp.arange(spp, dtype=jnp.int32))
     ))[: cam.num_pixels]
     np.testing.assert_array_equal(sharded, single)
+
+
+@requires_tpu
+def test_camera_tracer_official_path_on_hardware():
+    """The round-4 OFFICIAL fwd+bwd path compiled by Mosaic: the camera
+    tape tracer's colors equal the mega render kernel's bit-for-bit at
+    equal seeds (the bench's bit-identity contract on real hardware, not
+    just interpret mode), and its scene grads match the ray-table mega
+    tracer fed the same in-kernel-keyed primary rays."""
+    from distributed_raytracer_tpu.grad.tapegrad import (
+        make_tape_camera_tracer,
+        make_tape_tracer,
+    )
+    from distributed_raytracer_tpu.models.presets import (
+        make_camera as mk,
+        rtiow_final_scene,
+    )
+    from distributed_raytracer_tpu.ops.pallas.culled_bounce_kernel import (
+        _hash_u01,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        _CAM_D0,
+        mega_render_colors,
+    )
+
+    scene = rtiow_final_scene(seed=0, pad_to=512)
+    cam = mk(
+        aspect_ratio=16.0 / 9.0, image_width=64, samples_per_pixel=1,
+        max_depth=8, vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+        lookat=(0.0, 0.0, 0.0), vup=(0.0, 1.0, 0.0),
+        defocus_angle=0.6, focus_dist=10.0,
+    )
+    n_pix = cam.num_pixels
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    key = jax.random.PRNGKey(31)
+
+    # (a) colors == the render engine at the tracer's own derived seeds
+    tr = make_tape_camera_tracer(key, cam, pool=256, block_rays=256,
+                                 iota_pix=True)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    cam_seed = jax.random.randint(
+        jax.random.fold_in(key, 0xCA3), (), 0, 2**31 - 1, dtype=jnp.int32
+    )
+    colors = np.asarray(jax.block_until_ready(tr(scene, ids)))
+    render = np.asarray(jax.block_until_ready(
+        mega_render_colors(scene, cam, jnp.int32(0), seed, cam_seed,
+                           pool=256, block_rays=256)
+    ))
+    np.testing.assert_array_equal(colors, render)
+
+    # (b) scene grads match the ray-table mega tracer on the same rays
+    draws = tuple(_hash_u01(ids, cam_seed, _CAM_D0 + dd) for dd in range(4))
+    o, d = generate_rays(cam, jax.random.PRNGKey(0), ids % cam.image_width,
+                         ids // cam.image_width, draws=draws)
+    tr_ray = make_tape_tracer(key, cam.max_depth, pool=256, use_mega=True,
+                              mega_bwd=True, block_rays=256,
+                              ray_grads=False)
+    g_cam = jax.block_until_ready(jax.grad(
+        lambda s: jnp.sum(tr(s, ids) ** 2), allow_int=True)(scene))
+    g_ray = jax.block_until_ready(jax.grad(
+        lambda s: jnp.sum(tr_ray(s, o, d) ** 2), allow_int=True)(scene))
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(g_cam, name))
+        b = np.asarray(getattr(g_ray, name))
+        scale = np.abs(b).max() + 1e-8
+        # 1-ulp camera-context difference on primaries, amplified by
+        # depth-8 recursion (the documented test_mega_render bound)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-3,
+                                   err_msg=name)
