@@ -333,18 +333,28 @@ def cmd_render_dist(args):
             file=sys.stderr,
         )
         engine = "scan"
+    mega_walk = False
     if engine == "mega":
         from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
             mega_render_supported,
         )
+        from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
+            mega_walk_supported,
+        )
 
         if not mega_render_supported(scene, cam.num_pixels):
-            print(
-                "[render-dist] mega engine unsupported for this workload; "
-                "falling back to fused",
-                file=sys.stderr,
-            )
-            engine = "fused"
+            if mega_walk_supported(cam.num_pixels) and not on_cpu:
+                # multi-chunk scene: the mega WALK engine per device shard
+                # (TPU only — the walk's in-kernel DMA does not terminate
+                # under a partitioned interpret shard_map)
+                mega_walk = True
+            else:
+                print(
+                    "[render-dist] mega engine unsupported for this "
+                    "workload; falling back to fused",
+                    file=sys.stderr,
+                )
+                engine = "fused"
     if engine == "fused" and on_cpu and len(jax.devices()) > 1:
         # interpret-mode Pallas inside a while_loop under a PARTITIONED
         # shard_map never completes on the fake CPU backend (measured; the
@@ -367,6 +377,9 @@ def cmd_render_dist(args):
             make_fused_dp_render,
             make_mega_dp_render,
         )
+        from distributed_raytracer_tpu.parallel.sharded import (
+            make_mega_walk_dp_render,
+        )
 
         # CPU runs (CI / fake-device meshes) execute the kernels in the
         # Pallas interpreter — same program, same bits for the mega engine
@@ -381,7 +394,18 @@ def cmd_render_dist(args):
         acc = None
         with interp():
             if engine == "mega":
-                render = jax.jit(make_mega_dp_render(mesh, cam))
+                if mega_walk:
+                    from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
+                        walk_pack_for,
+                    )
+
+                    pack = walk_pack_for(scene, cam, chunk=256)
+                    walk_render = jax.jit(
+                        make_mega_walk_dp_render(mesh, pack, cam)
+                    )
+                    render = lambda sc, bs_, cs_, s_: walk_render(bs_, cs_, s_)
+                else:
+                    render = jax.jit(make_mega_dp_render(mesh, cam))
                 # seeds derived exactly like render_wavefront_sum_mega, and
                 # batches carry ABSOLUTE sample indices: the image is
                 # bit-identical across mesh size AND batch split

@@ -373,6 +373,75 @@ def make_mega_dp_render(
     )
 
 
+def make_mega_walk_dp_render(
+    mesh: Mesh,
+    pack,
+    camera: Camera,
+    pool_size: int = 2048,
+    budget: Optional[int] = None,
+    block_rays: int = 512,
+):
+    """The mega WALK engine (multi-chunk scenes) data-parallel over the
+    mesh "rays" axis — make_mega_dp_render's sibling past the dense
+    kernel's 512-sphere cap.  pack: mega_walk_kernel.WalkPack.  Draws stay
+    keyed by GLOBAL (rid, depth), so the sharded image is BIT-IDENTICAL
+    to the single-device walk render (and therefore to the dense mega
+    render at equal scene content).
+
+    Returns f(bounce_seed, cam_seed, sample_indices [S] i32) -> color
+    sums [padded_pixels, 3] sharded over "rays" (slice to
+    camera.num_pixels after gather); seed derivation contract matches
+    make_mega_dp_render.
+
+    NOTE: untestable on the fake CPU mesh — the walk kernel's in-kernel
+    DMA semaphores + fori_loop do not terminate under a PARTITIONED
+    shard_map in interpret mode (the same class as the fused engine's
+    documented limitation); the bit-identity assertion lives in the
+    hardware tier (test_tpu_hw.py)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from distributed_raytracer_tpu.ops.pallas import mega_walk_kernel as mwk
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import LANE
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        mega_render_budget_tight,
+    )
+
+    n_shards = mesh.shape[RAYS_AXIS]
+    n_pix = camera.num_pixels
+    s_loc = pad_to_multiple(n_pix, n_shards) // n_shards
+    pool = min(pool_size, pad_to_multiple(s_loc, LANE))
+    br = LANE
+    for cand in range(LANE, min(block_rays, pool) + 1, LANE):
+        if pool % cand == 0:
+            br = cand
+    if budget is None:
+        budget = mega_render_budget_tight(s_loc, camera.max_depth, pool)
+
+    def local(bounce_seed, cam_seed, samples):
+        k = jax.lax.axis_index(RAYS_AXIS)
+        pix0 = (k * s_loc).astype(jnp.int32)
+        n_valid = jnp.clip(jnp.int32(n_pix) - pix0, 0, s_loc)
+
+        def one(s):
+            return mwk.mega_walk_colors(
+                pack, camera, s, bounce_seed, cam_seed, pool=pool,
+                budget=budget, block_rays=br, n_cap=s_loc, pix0=pix0,
+                n_valid=n_valid, n_global=jnp.int32(n_pix),
+            )
+
+        per_sample = jax.lax.map(one, samples)
+        return jnp.sum(per_sample, axis=0)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )
+
+
 def make_fused_dp_render(
     mesh: Mesh,
     camera: Camera,

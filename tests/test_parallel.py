@@ -614,3 +614,4 @@ def test_tape_camera_dp_tracer_bit_identical_and_grads():
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-6,
                                    err_msg=name)
+

@@ -513,3 +513,56 @@ def test_camera_tracer_official_path_on_hardware():
         # depth-8 recursion (the documented test_mega_render bound)
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-3,
                                    err_msg=name)
+
+
+@requires_tpu
+def test_mega_walk_dp_shard_map_on_hardware():
+    """The mega WALK engine under shard_map on a REAL device mesh (1
+    chip): bit-identical to the single-device walk render — the
+    multi-chunk engine's multi-chip wiring on hardware.  (The fake CPU
+    mesh cannot test this: the walk's in-kernel DMA + fori_loop does not
+    terminate under a partitioned interpret shard_map.)"""
+    from jax.sharding import Mesh
+
+    from distributed_raytracer_tpu.models.presets import (
+        make_camera as mk,
+        random_sphere_field,
+    )
+    from distributed_raytracer_tpu.ops.pallas.culled_kernel import (
+        build_culled_scene,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
+        build_walk_pack,
+        render_wavefront_sum_mega_walk,
+    )
+    from distributed_raytracer_tpu.parallel.sharded import (
+        make_mega_walk_dp_render,
+    )
+
+    scene = random_sphere_field(2000, seed=5, extent=30.0)  # > dense cap
+    cam = mk(
+        aspect_ratio=16.0 / 9.0, image_width=64, samples_per_pixel=2,
+        max_depth=6, vfov=55.0, lookfrom=(0.0, 20.0, 60.0),
+        lookat=(0.0, 0.0, 0.0), vup=(0.0, 1.0, 0.0),
+        defocus_angle=0.0, focus_dist=10.0,
+    )
+    pack = build_walk_pack(build_culled_scene(scene, chunk=256),
+                           np.asarray(cam.center))
+    key = jax.random.PRNGKey(7)
+    spp = 2
+    single = np.asarray(jax.block_until_ready(
+        render_wavefront_sum_mega_walk(pack, cam, key, spp, pool_size=256,
+                                       block_rays=256)
+    ))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("rays",))
+    render = make_mega_walk_dp_render(mesh, pack, cam, pool_size=256,
+                                      block_rays=256)
+    bs = jnp.asarray(jax.random.randint(key, (), 0, 2**31 - 1), jnp.int32)
+    cs = jnp.asarray(
+        jax.random.randint(jax.random.fold_in(key, 0xCA3), (), 0, 2**31 - 1),
+        jnp.int32,
+    )
+    sharded = np.asarray(jax.block_until_ready(
+        jax.jit(render)(bs, cs, jnp.arange(spp, dtype=jnp.int32))
+    ))[: cam.num_pixels]
+    np.testing.assert_array_equal(sharded, single)
