@@ -395,6 +395,37 @@ def _forward_tape_mega(
     return color, tape, out.n_it, pos
 
 
+def camera_pos_from_tape(tape_i: jnp.ndarray, n_it, r: int,
+                         flag_bit: int = 8) -> jnp.ndarray:
+    """Per-ray flat tape finish positions [r] derived from the packed
+    tape's fin flags — the camera-mode mega kernels skip the in-kernel
+    dense pos update (a [C, B]-wide select per row, ~0.8 us at the
+    production shape) since nothing in the camera fwd+bwd pipeline
+    consumes pos; the replay-oracle entries rebuild it here with ONE bulk
+    scatter.  -1 where a ray never finished (depth-exhausted).  Rows past
+    n_it are uninitialized kernel memory and are masked out.
+
+    flag_bit 8 (finished) -> finish positions; flag_bit 4 (take) ->
+    REFILL positions (rpos — where the backward's dense primary-cotangent
+    rows hold a ray's d_o/d_d, the camera-pose gradient hook)."""
+    t, _, b = tape_i.shape
+    flags = tape_i[:, 2, :]
+    lray = tape_i[:, 1, :]
+    live_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (t, b), 0)
+        < jnp.asarray(n_it, jnp.int32)
+    )
+    fin = ((flags & flag_bit) != 0) & live_rows
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (t, b), 0) * b
+        + jax.lax.broadcasted_iota(jnp.int32, (t, b), 1)
+    )
+    idxs = jnp.where(fin, lray, r).reshape(-1)
+    vals = jnp.where(fin, flat, -1).reshape(-1)
+    out = jnp.full((r + 1,), -1, jnp.int32).at[idxs].set(vals, mode="drop")
+    return out[:r]
+
+
 def _forward_tape_camera_raw(
     scene: Scene,
     camera,
@@ -404,6 +435,7 @@ def _forward_tape_camera_raw(
     budget: Optional[int] = None,
     block_rays: int = 512,
     pad_rows: int = 2,
+    iota_pix: bool = False,
 ):
     """Camera-mode recording forward (mega_forward_camera) unpacked into
     the (color, _Tape, n_it, pos) contract — the oracle/test entry for
@@ -424,12 +456,13 @@ def _forward_tape_camera_raw(
     out = mega_forward_camera(
         scene, pixel_ids, seed, cam_seed, camera_scalar_row(camera),
         camera.image_width, camera.max_depth, pool=b, budget=(budget or 0),
-        block_rays=block_rays, pad_rows=pad_rows,
+        block_rays=block_rays, pad_rows=pad_rows, iota_pix=iota_pix,
     )
     fdata = out.tape_f.transpose(0, 2, 1)
     idata = out.tape_i[:, :3, :].transpose(0, 2, 1)
     tape = _Tape(fdata=fdata, idata=idata)
-    pos = out.pos_cb.reshape(-1)[:r]
+    # the camera kernel skips the in-kernel pos update; rebuild from flags
+    pos = camera_pos_from_tape(out.tape_i, out.n_it, r)
     # camera mode emits DENSE [C, B] color homes — per-ray colors by pure
     # reshape, no tape-flat gather; truncation still NaN-poisons (loud)
     color = jnp.where(out.clean == 0, jnp.nan,
@@ -898,10 +931,153 @@ def make_tape_camera_tracer(
             fuzz=g_pm[:n, 7],
             ior=g_pm[:n, 8],
         )
-        d_ids = _np.zeros(res[1].pos_cb.shape[0] * res[1].pos_cb.shape[1],
-                          dtype=jax.dtypes.float0)[: g_color.shape[0]]
+        d_ids = _np.zeros(g_color.shape[0], dtype=jax.dtypes.float0)
         d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)
         d_p0 = _np.zeros((), dtype=jax.dtypes.float0)
+        return d_scene, d_ids, d_k, d_p0
+
+    traced_k.defvjp(traced_fwd, traced_bwd)
+
+    def traced(scene, pixel_ids, k=None, pix0=None):
+        if pix0 is not None and not iota_pix:
+            # the kernel only reads the pix0 scalar in the iota branch; a
+            # table-mode caller passing a shard offset would silently get
+            # wrong pixels (fold the offset into pixel_ids instead)
+            raise ValueError(
+                "pix0 requires iota_pix=True (table mode derives pixels "
+                "from pixel_ids alone; add the offset to pixel_ids)")
+        return traced_k(scene, pixel_ids, key if k is None else k,
+                        jnp.zeros((), jnp.int32) if pix0 is None
+                        else jnp.asarray(pix0, jnp.int32))
+
+    return traced
+
+
+def make_tape_camera_walk_tracer(
+    key: jax.Array,
+    camera,
+    scene0: Scene,
+    chunk: int = 256,
+    max_depth: Optional[int] = None,
+    pool: int = 2048,
+    budget: Optional[int] = None,
+    block_rays: int = 256,
+    bound_slack: float = 0.0,
+):
+    """PRODUCTION fwd+bwd tracer for scenes PAST ONE SWEEP CHUNK: the
+    recording WALK forward (mega_walk_kernel.mega_walk_forward_camera —
+    the multi-chunk flagship render engine plus tape outputs) and the
+    scene-size-independent walk backward (mega_walk_bwd_kernel), both
+    single Pallas programs.  Lifts the dense camera tracer's 512-sphere
+    cap (VERDICT r4 item 1; the reference's size-agnostic engine,
+    hittable_list.rs:60-74 + object_server.rs:34-38, differentiable).
+
+    f(scene, pixel_ids [R] i32, k=None, pix0=None) -> colors [R, 3],
+    scene-differentiable.  pixel_ids is a SHAPE-ONLY stub (the walk
+    kernel always derives pixels as pix0 + lane index — the iota_pix
+    production shape); colors are BIT-IDENTICAL to the mega-walk render
+    engine at equal seeds.
+
+    scene0: the REFERENCE scene the static pack skeleton (Morton cluster
+    permutation + chunk bounds + camera visit order) is built from, on
+    the host, once.  The pack's VALUE arrays are rebuilt from the traced
+    scene each call (walk_pack_arrays_from_scene), so gradients flow and
+    param updates take effect — but the BOUNDS stay scene0's: rebuild the
+    tracer when optimizing geometry far enough to escape a chunk bound
+    (bound_slack inflates every bound radius by that much as headroom);
+    albedo/fuzz/ior/material optimization never invalidates bounds."""
+    import numpy as _np
+
+    from distributed_raytracer_tpu.ops.camera import Camera
+    from distributed_raytracer_tpu.ops.pallas.mega_walk_bwd_kernel import (
+        mega_walk_backward,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_walk_kernel import (
+        mega_walk_forward_camera,
+        walk_pack_arrays_from_scene,
+        walk_pack_for,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        camera_scalar_row,
+    )
+
+    assert isinstance(camera, Camera)
+    depth = max_depth if max_depth is not None else camera.max_depth
+    w = camera.image_width
+    cam_row = camera_scalar_row(camera)
+
+    pack0 = walk_pack_for(scene0, camera, chunk=chunk)
+    sto = _np.asarray(pack0.slot_to_orig)
+    n_slots = int(sto.shape[0])
+    n_orig = scene0.num_spheres
+    # original -> slot; spheres absent from the pack (radius <= 0 padding
+    # of scene0) map to the appended ZERO row, NOT the no-hit sentinel bin
+    # (which accumulates miss-lane garbage cotangents)
+    inv = _np.full(n_orig, n_slots, _np.int64)
+    vmask = sto >= 0
+    inv[sto[vmask]] = _np.where(vmask)[0]
+    inv_j = jnp.asarray(inv, jnp.int32)
+    bounds = pack0.bounds
+    if bound_slack:
+        b_np = _np.asarray(bounds).copy()
+        finite = b_np[:, 3] > 0.0
+        b_np[finite, 3] = (_np.sqrt(b_np[finite, 3]) + bound_slack) ** 2
+        bounds = jnp.asarray(b_np)
+
+    def run_fwd_raw(scene, pixel_ids, k, pix0):
+        r = pixel_ids.shape[0]
+        b = min(pool, -(-r // 128) * 128)
+        seed = jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+        cam_seed = jax.random.randint(
+            jax.random.fold_in(k, 0xCA3), (), 0, 2**31 - 1, dtype=jnp.int32
+        )
+        scene_pack, attrs, _ = walk_pack_arrays_from_scene(
+            scene, sto, chunk
+        )
+        out = mega_walk_forward_camera(
+            scene_pack, attrs, bounds, cam_row, jnp.int32(0), seed,
+            cam_seed, n_pix=r, w=w, max_depth=depth, chunk=chunk,
+            n_chunks=pack0.n_chunks, pool=b, budget=(budget or 0),
+            block_rays=block_rays, pix0=pix0, rid_base=jnp.int32(0),
+        )
+        color = jnp.where(out.clean == 0, jnp.nan,
+                          out.colors.reshape(-1, 3)[:r])
+        return color, out
+
+    @jax.custom_vjp
+    def traced_k(scene, pixel_ids, k, pix0):
+        color, _ = run_fwd_raw(scene, pixel_ids, k, pix0)
+        return color
+
+    def traced_fwd(scene, pixel_ids, k, pix0):
+        color, out = run_fwd_raw(scene, pixel_ids, k, pix0)
+        return color, (scene, out)
+
+    def traced_bwd(res, g_color):
+        scene, out = res
+        g_pm, _ = mega_walk_backward(
+            out.tape_f, out.tape_i, out.n_it, g_color, n_slots=n_slots,
+            ray_grads=False,
+        )
+        # per-slot -> per-original-sphere: drop the sentinel bin, append a
+        # zero row for absent spheres, gather by the inverse permutation
+        g_full = jnp.concatenate(
+            [g_pm[:n_slots], jnp.zeros((1, 9), g_pm.dtype)], axis=0
+        )
+        g_orig = g_full[inv_j]
+        d_scene = Scene(
+            centers=g_orig[:, 0:3],
+            radii=g_orig[:, 3],
+            albedo=g_orig[:, 4:7],
+            mat_type=jnp.zeros_like(scene.mat_type),
+            fuzz=g_orig[:, 7],
+            ior=g_orig[:, 8],
+        )
+        import numpy as __np
+
+        d_ids = __np.zeros(g_color.shape[0], dtype=jax.dtypes.float0)
+        d_k = __np.zeros(key.shape, dtype=jax.dtypes.float0)
+        d_p0 = __np.zeros((), dtype=jax.dtypes.float0)
         return d_scene, d_ids, d_k, d_p0
 
     traced_k.defvjp(traced_fwd, traced_bwd)

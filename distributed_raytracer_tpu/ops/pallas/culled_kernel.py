@@ -54,6 +54,9 @@ class CulledScene(NamedTuple):
     bounds_c: jnp.ndarray  # [n_chunks, 3] chunk bound centers
     bounds_r2: jnp.ndarray  # [n_chunks] chunk bound radius^2 (inf => always sweep)
     chunk: int             # spheres per chunk (static)
+    order: np.ndarray = None  # [n_slots] i64 ORIGINAL sphere index per
+    # reordered slot, -1 for padding slots (maps gradients/winner ids of
+    # the reordered scene back to the caller's sphere numbering)
 
 
 def build_culled_scene(
@@ -126,6 +129,7 @@ def build_culled_scene(
         bounds_c=jnp.asarray(bc),
         bounds_r2=jnp.asarray(br2),
         chunk=chunk,
+        order=order,
     )
 
 

@@ -80,10 +80,12 @@ class MegaOut(NamedTuple):
 
     tape_f: jnp.ndarray  # [T, 16, B] f32, sublanes: o3 d3 atten3 ruv3 u contrib3
     tape_i: jnp.ndarray  # [T, 8, B] i32, sublanes: idx lane_ray flags (5 pad)
-    pos_cb: jnp.ndarray  # [C, B] i32 flat tape finish position, -1 = none
+    pos_cb: jnp.ndarray  # [C, B] i32 flat tape finish position, -1 = none;
+    # None in camera mode (derive via tapegrad.camera_pos_from_tape)
     rpos_cb: jnp.ndarray  # [C, B] i32 flat tape REFILL position, -1 = none
     # (ray c*B+lane was taken at row rpos//B, lane rpos%B — where the
-    # mega backward's dense primary-cotangent rows hold its d_o/d_d)
+    # mega backward's dense primary-cotangent rows hold its d_o/d_d);
+    # None in camera mode (flag_bit=4 derivation)
     n_it: jnp.ndarray    # scalar i32 rows recorded
     clean: jnp.ndarray   # scalar i32: 1 = all rays accounted (no truncation)
     colors: jnp.ndarray = None  # camera mode only: [C, B, 3] f32 dense
@@ -103,7 +105,7 @@ def _mega_kernel(
     *refs,
     r: int, b: int, br: int, c_rows: int, max_depth: int,
     pad_rows: int, camera_mode: bool = False, w: int = 0,
-    iota_pix: bool = False,
+    iota_pix: bool = False, record_params: bool = False,
 ):
     """Body shared by the ray-table and camera modes.
 
@@ -133,17 +135,35 @@ def _mega_kernel(
         # camera mode adds DENSE [C, B] color-home outputs (the render
         # kernel's drain) + pending-color scratch: per-ray colors come
         # out positionally instead of through a tape-flat HBM gather
-        # (~13 ns/row — several ms at production ray counts); rpos_o is
-        # init-filled but never updated (no ray grads in this mode)
-        (cam_ref, pix_tab,
-         cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
-         tf_o, ti_o, col_r, col_g, col_b, pos_o, rpos_o, meta_o,
-         sox, soy, soz, sdx, sdy, sdz,
-         sar, sag, sab,
-         scur, snext, sdepth, slive, sfin, spix,
-         rbx, rby, rbz, rcx, rcy, rcz,
-         ccr, ccg, ccb,
-         done_s) = refs
+        # (~13 ns/row — several ms at production ray counts).
+        # camera mode has no pos/rpos outputs (round 5): nothing in the
+        # fwd+bwd pipeline consumes them — finish/refill positions are
+        # derivable from the tape's fin/take flags
+        # (tapegrad.camera_pos_from_tape) — and the dead [C, B] outputs
+        # cost scoped VMEM the kernel needs at production budgets
+        # iota_pix drops the pix_tab operand outright: pixels are derived
+        # arithmetically and the dead [C, B] table costs scoped VMEM
+        if iota_pix:
+            (cam_ref,
+             cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
+             tf_o, ti_o, col_r, col_g, col_b, meta_o,
+             sox, soy, soz, sdx, sdy, sdz,
+             sar, sag, sab,
+             scur, snext, sdepth, slive, sfin, spix,
+             rbx, rby, rbz, rcx, rcy, rcz,
+             ccr, ccg, ccb,
+             done_s) = refs
+            pix_tab = None
+        else:
+            (cam_ref, pix_tab,
+             cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
+             tf_o, ti_o, col_r, col_g, col_b, meta_o,
+             sox, soy, soz, sdx, sdy, sdz,
+             sar, sag, sab,
+             scur, snext, sdepth, slive, sfin, spix,
+             rbx, rby, rbz, rcx, rcy, rcz,
+             ccr, ccg, ccb,
+             done_s) = refs
     else:
         (tox, toy, toz, tdx, tdy, tdz,
          cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
@@ -169,13 +189,14 @@ def _mega_kernel(
         done_s[0, 0] = 0
         meta_o[0, 0] = 0
         meta_o[0, 1] = 0
-        pos_o[:] = jnp.full_like(pos_o, -1)
-        rpos_o[:] = jnp.full_like(rpos_o, -1)
         if camera_mode:
             ccr[:], ccg[:], ccb[:] = z, z, z
             col_r[:] = jnp.zeros_like(col_r)
             col_g[:] = jnp.zeros_like(col_g)
             col_b[:] = jnp.zeros_like(col_b)
+        else:
+            pos_o[:] = jnp.full_like(pos_o, -1)
+            rpos_o[:] = jnp.full_like(rpos_o, -1)
 
     @pl.when(done_s[0, 0] == 0)
     def _row():
@@ -324,6 +345,13 @@ def _mega_kernel(
                 | (take[:, sl].astype(i32) << 2)
                 | (fin_b.astype(i32) << 3)
             )
+            if record_params:
+                # WINNER PARAMS onto tape sublanes 16..25 (the walk tape's
+                # layout, mega_walk_kernel.MegaWalkTapeOut): the backward
+                # becomes mega_walk_bwd_kernel — no resident attr planes,
+                # no O(m*B) one-hot param fetch per row
+                for j in range(10):
+                    tf_o[0, 16 + j:17 + j, sl] = wa[j:j + 1, :]
             if camera_mode:
                 ccr[0, sl] = jnp.where(fin_b, ar[:, sl] * cor, ccr[:, sl])[0]
                 ccg[0, sl] = jnp.where(fin_b, ag[:, sl] * cog, ccg[:, sl])[0]
@@ -348,15 +376,21 @@ def _mega_kernel(
             sfin[0, sl] = fin_b.astype(i32)[0]
 
         # --- dense finish-position update: ray (c, lane) finished at flat
-        # tape position it*B + lane ---
+        # tape position it*B + lane.  Camera mode SKIPS it (round 5): the
+        # camera backward fetches g_color by [C, B] table + fin flags and
+        # colors come from the dense homes, so nothing consumes pos — and
+        # the [C, B]-wide select costs ~0.8 us/row at the production
+        # shape (396 x 2048).  The oracle entry derives pos from the
+        # tape's fin flags post-hoc (tapegrad.camera_pos_from_tape). ---
         fin_full = sfin[:] > 0
         rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
         sel_fin = (rows_i == c_cur) & fin_full
-        pos_o[:] = jnp.where(sel_fin, it * b + lane, pos_o[:])
         if camera_mode:
             col_r[:] = jnp.where(sel_fin, ccr[:], col_r[:])
             col_g[:] = jnp.where(sel_fin, ccg[:], col_g[:])
             col_b[:] = jnp.where(sel_fin, ccb[:], col_b[:])
+        else:
+            pos_o[:] = jnp.where(sel_fin, it * b + lane, pos_o[:])
 
         # --- termination (+ parity pad so n_it % pad_rows == 0: the extra
         # rows run with every lane idle and record as pass-through) ---
@@ -548,10 +582,6 @@ def mega_forward_camera(
             f"exceeds chunk {m}")
     scene_cols, attrs = scene_sweep_arrays(scene, m)
 
-    pad_n = c_rows * b - r
-    pix_tab = jnp.pad(pixel_ids.astype(jnp.int32), (0, pad_n)).reshape(
-        c_rows, b
-    )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     rb = (jnp.zeros((), jnp.int32) if rid_base is None
@@ -563,8 +593,19 @@ def mega_forward_camera(
          rb, p0]
     ).reshape(1, 4)
     cam_spec = pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    if iota_pix:
+        # the pixel table is never read (pixels derive from pix0 + ray
+        # index); dropping the operand frees [C, B] i32 of scoped VMEM
+        mode_inputs, mode_specs = [cam_row], [cam_spec]
+    else:
+        pad_n = c_rows * b - r
+        pix_tab = jnp.pad(pixel_ids.astype(jnp.int32), (0, pad_n)).reshape(
+            c_rows, b
+        )
+        mode_inputs = [cam_row, pix_tab]
+        mode_specs = [cam_spec, whole((c_rows, b))]
     return _mega_call(
-        scal, [cam_row, pix_tab], [cam_spec, whole((c_rows, b))],
+        scal, mode_inputs, mode_specs,
         scene_cols, attrs,
         r=r, b=b, br=br, c_rows=c_rows, max_depth=max_depth,
         pad_rows=pad_rows, t_budget=t_budget, m=m,
@@ -581,18 +622,21 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
     f32, i32 = jnp.float32, jnp.int32
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
+    # camera mode: 3 color homes, NO pos/rpos (derivable from tape flags;
+    # the dead [C, B] outputs cost scoped VMEM).  ray mode: pos + rpos.
     n_col = 3 if camera_mode else 0
+    n_pos = 0 if camera_mode else 2
     out_specs = (
         [pl.BlockSpec((1, 16, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
          pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-        + [whole((c_rows, b))] * (n_col + 2)
+        + [whole((c_rows, b))] * (n_col + n_pos)
         + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     )
     out_shape = (
         [jax.ShapeDtypeStruct((t_budget, 16, b), f32),
          jax.ShapeDtypeStruct((t_budget, 8, b), i32)]
         + [jax.ShapeDtypeStruct((c_rows, b), f32)] * n_col
-        + [jax.ShapeDtypeStruct((c_rows, b), i32)] * 2
+        + [jax.ShapeDtypeStruct((c_rows, b), i32)] * n_pos
         + [jax.ShapeDtypeStruct((1, 2), i32)]
     )
     outs = pl.pallas_call(
@@ -618,8 +662,9 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
         ),
     )(scal, *mode_inputs, *scene_cols, attrs)
     if camera_mode:
-        tape_f, tape_i, cr, cg, cb, pos_cb, rpos_cb, meta = outs
+        tape_f, tape_i, cr, cg, cb, meta = outs
         colors = jnp.stack([cr, cg, cb], axis=-1)
+        pos_cb = rpos_cb = None
     else:
         tape_f, tape_i, pos_cb, rpos_cb, meta = outs
         colors = None

@@ -85,7 +85,16 @@ from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
 class WalkPack(NamedTuple):
     """Scene-constant arrays for the mega walk, chunk blocks in VISIT
     order (big always-swept chunks first, then front-to-back from the
-    camera center)."""
+    camera center).
+
+    TIE CAVEAT: the walk merges chunk sweeps with strict `t_c < t_best`
+    in this camera-dependent visit order, while the dense mega kernel
+    sweeps in builder order — an EXACT float-t tie between spheres in
+    different chunks would pick different winners (the advertised
+    bit-identity to the dense engine holds ties aside).  Real scenes
+    never produce exact f32 ties between distinct spheres; adversarial
+    scenes that do should use the dense engine or add an index tie-break
+    to the winner merge."""
 
     scene_pack: jnp.ndarray  # [N, LANE] f32: lanes 0..3 = cx cy cz r2
     attrs: jnp.ndarray       # [n_chunks*48, chunk] bf16, chunk-blocked
@@ -93,6 +102,10 @@ class WalkPack(NamedTuple):
     #                          (pad rows r2 = -1 => guaranteed miss)
     chunk: int
     n_chunks: int
+    slot_to_orig: np.ndarray = None  # [n_chunks*chunk] i64 ORIGINAL sphere
+    # index per visit-ordered slot, -1 pad (tape winner ids / gradients of
+    # the walked pack map back through this; None for packs built from a
+    # CulledScene that predates the order field)
 
 
 def build_walk_pack(culled: CulledScene, cam_center) -> WalkPack:
@@ -117,13 +130,69 @@ def build_walk_pack(culled: CulledScene, cam_center) -> WalkPack:
     bounds[:n_chunks, 0:3] = bc[order]
     bounds[:n_chunks, 3] = br2[order]
     bounds[n_chunks:, 3] = -1.0  # guaranteed-miss pad rows
+    sto = None
+    if culled.order is not None:
+        sto = np.asarray(culled.order).reshape(n_chunks, chunk)[order]
+        sto = sto.reshape(-1)
     return WalkPack(
         scene_pack=jnp.asarray(sp.reshape(n_chunks * chunk, LANE)),
         attrs=jnp.asarray(at.reshape(n_chunks * 3 * _A_ROWS, chunk)),
         bounds=jnp.asarray(bounds),
         chunk=chunk,
         n_chunks=n_chunks,
+        slot_to_orig=sto,
     )
+
+
+def walk_pack_arrays_from_scene(scene: Scene, slot_to_orig: np.ndarray,
+                                chunk: int):
+    """TRACEABLE (scene_pack, attrs, reordered_scene) for a FIXED
+    slot->original permutation — the differentiable walk-pack path.
+
+    walk_pack_for builds the pack on the HOST (native Morton clusters +
+    camera visit order) and cannot run on a traced scene; under jax.grad
+    the scene params ARE tracers.  This splits the build: the PERMUTATION
+    (and the chunk bounds) stay static host artifacts of the reference
+    scene, while the pack's VALUE arrays are rebuilt here with plain jnp
+    gathers/where — XLA differentiates nothing special (the tape tracer's
+    custom_vjp maps gradients back through the same permutation).  Padding
+    slots (-1) get the standard padding values (r=0, mat=ABSORB, ior=1).
+
+    NOTE bounds are NOT rebuilt: if the traced scene's GEOMETRY (centers/
+    radii) drifts from the scene the pack was built for, stale bounds can
+    cull a chunk whose sphere moved out of its bound — rebuild the pack
+    (or pass bound_slack) when optimizing geometry; material/albedo/fuzz/
+    ior optimization never invalidates bounds."""
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import attr_planes
+
+    n_slots = int(slot_to_orig.shape[0])
+    if n_slots % chunk:
+        raise ValueError((n_slots, chunk))
+    n_chunks = n_slots // chunk
+    sto = np.asarray(slot_to_orig)
+    idx_c = jnp.asarray(np.clip(sto, 0, scene.num_spheres - 1), jnp.int32)
+    v = jnp.asarray(sto >= 0)
+    v3 = v[:, None]
+    rs = Scene(
+        centers=jnp.where(v3, scene.centers[idx_c], 0.0),
+        radii=jnp.where(v, scene.radii[idx_c], 0.0),
+        albedo=jnp.where(v3, scene.albedo[idx_c], 0.0),
+        mat_type=jnp.where(v, scene.mat_type[idx_c], ABSORB),
+        fuzz=jnp.where(v, scene.fuzz[idx_c], 0.0),
+        ior=jnp.where(v, scene.ior[idx_c], 1.0),
+    )
+    r2 = jnp.where(rs.radii > 0.0, rs.radii * rs.radii, -1.0)
+    scene_pack = jnp.stack(
+        [rs.centers[:, 0], rs.centers[:, 1], rs.centers[:, 2], r2], axis=-1
+    )
+    scene_pack = jnp.pad(scene_pack, ((0, 0), (0, LANE - 4)))
+    planes = attr_planes(rs, n_slots)  # [48, n_slots] bf16, idx = slot
+    attrs = (
+        planes.reshape(3 * _A_ROWS, n_chunks, chunk)
+        .transpose(1, 0, 2)
+        .reshape(n_chunks * 3 * _A_ROWS, chunk)
+    )
+    return scene_pack, attrs, rs
 
 
 def _mega_walk_kernel(
@@ -145,29 +214,31 @@ def _mega_walk_kernel(
     # w_ref winner carry; double-buffered chunk DMA; done flag).
     b: int, br: int, c_rows: int, max_depth: int, w: int,
     chunk: int, n_chunks: int, use_pix_tab: bool = False,
+    record: bool = False,
 ):
-    if use_pix_tab:
-        (pix_tab, scene_ref, attrs_ref,
-         col_r, col_g, col_b, meta_o,
-         sox, soy, soz, sdx, sdy, sdz,
-         sar, sag, sab,
-         scur, snext, sdepth, slive, sfin, spix,
-         rbx, rby, rbz, rcx, rcy, rcz,
-         ccr, ccg, ccb,
-         t_w, rfl, w_ref,
-         sbuf, ssem, abuf, asem,
-         done_s) = refs
-    else:
-        (scene_ref, attrs_ref,
-         col_r, col_g, col_b, meta_o,
-         sox, soy, soz, sdx, sdy, sdz,
-         sar, sag, sab,
-         scur, snext, sdepth, slive, sfin, spix,
-         rbx, rby, rbz, rcx, rcy, rcz,
-         ccr, ccg, ccb,
-         t_w, rfl, w_ref,
-         sbuf, ssem, abuf, asem,
-         done_s) = refs
+    rest = list(refs)
+    pix_tab = rest.pop(0) if use_pix_tab else None
+    scene_ref, attrs_ref = rest.pop(0), rest.pop(0)
+    if record:
+        # RECORDING mode (the walk tape forward, round 5): two packed tape
+        # row outputs precede the color homes — tf_o [1, 32, B] f32
+        # (sublanes 0..15 = the mega tape layout o3 d3 atten3 ruv3 u
+        # contrib3; 16..25 = the WINNER PARAMS cw3 r alb3 fuzz ior mt, so
+        # the backward needs NO scene-resident attr planes and no one-hot
+        # param fetch at any scene size) and ti_o [1, 8, B] i32 (idx
+        # lane_ray flags) — plus dense pos/rpos homes (mega_kernel.py's).
+        tf_o, ti_o = rest.pop(0), rest.pop(0)
+    (col_r, col_g, col_b) = rest[0:3]
+    del rest[0:3]
+    (meta_o,
+     sox, soy, soz, sdx, sdy, sdz,
+     sar, sag, sab,
+     scur, snext, sdepth, slive, sfin, spix,
+     rbx, rby, rbz, rcx, rcy, rcz,
+     ccr, ccg, ccb,
+     t_w, rfl, w_ref,
+     sbuf, ssem, abuf, asem,
+     done_s) = rest
     it = pl.program_id(0)
     i32 = jnp.int32
 
@@ -245,6 +316,20 @@ def _mega_walk_kernel(
         # permutation cannot change the image
         rid_full = rid_base + spix[:]
         dep_full = sdepth[:]
+
+        if record:
+            # tape row: PRE-bounce state (the mega kernel's exact record —
+            # sublane indices mega_kernel._TF_O/_TF_D/_TF_AT/_TI_LRAY)
+            tf_o[0, 0:1, :] = ox_f
+            tf_o[0, 1:2, :] = oy_f
+            tf_o[0, 2:3, :] = oz_f
+            tf_o[0, 3:4, :] = dx_f
+            tf_o[0, 4:5, :] = dy_f
+            tf_o[0, 5:6, :] = dz_f
+            tf_o[0, 6:7, :] = ar
+            tf_o[0, 7:8, :] = ag
+            tf_o[0, 8:9, :] = ab
+            ti_o[0, 1:2, :] = c_cur * b + lane
 
         # iota must span lanes on Mosaic; build [G, LANE] then slice
         pos_idx = jax.lax.broadcasted_iota(i32, (GROUP, LANE), 0)[:, 0:1]
@@ -376,11 +461,35 @@ def _mega_walk_kernel(
             rid_sl = rid_full[:, sl]
             draws = tuple(_hash_u01(rid_sl, seed_row, dd) for dd in range(5))
             (nox, noy, noz, ndx, ndy, ndz, atr, atg, atb,
-             cor, cog, cob, fin_row, _idx_row,
-             _rux, _ruy, _ruz, _u_ch) = _shade_vals(
+             cor, cog, cob, fin_row, idx_row,
+             rux, ruy, ruz, u_ch) = _shade_vals(
                 ox, oy, oz, dx, dy, dz, a, act, t_w[:], w_ref[:], draws=draws
             )
             fin_b = (fin_row > 0) & act
+
+            if record:
+                # draws + results + WINNER PARAMS onto the tape.  The
+                # params (w_ref rows 0..9 = cw3 r alb3 fuzz ior mt,
+                # hi+mid+lo-exact f32 of the walked pack's attrs) ride the
+                # tape so the backward is scene-size-independent: no
+                # resident attr planes, no one-hot param fetch.
+                hit_row = ((t_w[:] < BIG * 0.5) & act).astype(jnp.int32)
+                tf_o[0, 9:10, sl] = rux
+                tf_o[0, 10:11, sl] = ruy
+                tf_o[0, 11:12, sl] = ruz
+                tf_o[0, 12:13, sl] = u_ch
+                tf_o[0, 13:14, sl] = ar[:, sl] * cor
+                tf_o[0, 14:15, sl] = ag[:, sl] * cog
+                tf_o[0, 15:16, sl] = ab[:, sl] * cob
+                for j in range(10):
+                    tf_o[0, 16 + j:17 + j, sl] = w_ref[j:j + 1, :]
+                ti_o[0, 0:1, sl] = idx_row
+                ti_o[0, 2:3, sl] = (
+                    hit_row
+                    | (act.astype(jnp.int32) << 1)
+                    | (take[:, sl].astype(jnp.int32) << 2)
+                    | (fin_b.astype(jnp.int32) << 3)
+                )
 
             ccr[0, sl] = jnp.where(fin_b, ar[:, sl] * cor, ccr[:, sl])[0]
             ccg[0, sl] = jnp.where(fin_b, ag[:, sl] * cog, ccg[:, sl])[0]
@@ -409,6 +518,11 @@ def _mega_walk_kernel(
         col_r[:] = jnp.where(sel_fin, ccr[:], col_r[:])
         col_g[:] = jnp.where(sel_fin, ccg[:], col_g[:])
         col_b[:] = jnp.where(sel_fin, ccb[:], col_b[:])
+        # record mode does NOT maintain pos/rpos homes in-kernel: nothing
+        # in the fwd+bwd pipeline consumes them, and the [C, B]-wide
+        # selects cost ~1 us/row at production shapes.  Oracle consumers
+        # derive both from the tape's fin/take flags post-hoc
+        # (tapegrad.camera_pos_from_tape).
 
         # --- termination ---
         live2 = slive[:] > 0
@@ -534,6 +648,144 @@ def mega_walk_sample(
     )
 
 
+class MegaWalkTapeOut(NamedTuple):
+    """Recording walk forward outputs (the mega tape contract + params).
+
+    tape_f sublanes 0..15 are EXACTLY mega_kernel's packed layout (o3 d3
+    atten3 ruv3 u contrib3 — _Tape-compatible via tape_f[:, :16]); 16..25
+    add the winner params (cw3 r alb3 fuzz ior mt) so the walk backward
+    (mega_walk_bwd_kernel.py) runs without scene-resident attrs at any
+    scene size.  idx (tape_i sublane 0) is the WALK-PACK SLOT index of the
+    winner (the visit-ordered reordered scene) — map back to original
+    sphere ids with the pack's slot->original permutation."""
+
+    tape_f: jnp.ndarray   # [T, 32, B] f32
+    tape_i: jnp.ndarray   # [T, 8, B] i32: idx lane_ray flags (5 pad)
+    colors: jnp.ndarray   # [C, B, 3] f32 dense color homes
+    # (no pos/rpos homes: finish/refill positions are derivable from the
+    # tape's fin/take flags — tapegrad.camera_pos_from_tape)
+    n_it: jnp.ndarray     # scalar i32 rows recorded
+    clean: jnp.ndarray    # scalar i32: 1 = all rays accounted
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pix", "w", "max_depth", "pool", "budget",
+                     "block_rays", "chunk", "n_chunks"),
+)
+def mega_walk_forward_camera(
+    scene_pack: jnp.ndarray,
+    attrs: jnp.ndarray,
+    bounds: jnp.ndarray,
+    cam_row: jnp.ndarray,
+    sample: jnp.ndarray,
+    bounce_seed: jnp.ndarray,
+    cam_seed: jnp.ndarray,
+    n_pix: int,
+    w: int,
+    max_depth: int,
+    chunk: int,
+    n_chunks: int,
+    pool: int = 2048,
+    budget: int = 0,
+    block_rays: int = 256,
+    pix0=None,
+    n_valid=None,
+    n_global=None,
+    rid_base=None,
+) -> MegaWalkTapeOut:
+    """RECORDING walk forward: mega_walk_sample + the packed tape outputs
+    (see MegaWalkTapeOut) — the camera-mode recording forward for scenes
+    past one sweep chunk (VERDICT r4 item 1; the reference's size-agnostic
+    bounce engine, hittable_list.rs:60-74, as a differentiable whole-render
+    program).  Colors are BIT-IDENTICAL to mega_walk_sample at equal
+    seeds/args (same draws, same walk); the tape feeds mega_walk_backward
+    or (sublanes 0..15) the XLA reverse-tape backward / replay oracle.
+
+    budget=0 -> the proven worst case (each lane serially runs its
+    ceil(n_pix/pool) rays at <= max_depth bounces)."""
+    b = pool
+    if b % LANE:
+        raise ValueError(f"pool must be a multiple of {LANE}")
+    br = min(block_rays, b)
+    if b % br:
+        raise ValueError(f"pool {b} not a multiple of block_rays {br}")
+    c_rows = _c_rows(n_pix, b)
+    t_budget = budget or (c_rows * max_depth + 1)
+    if pix0 is None:
+        pix0 = jnp.int32(0)
+    if n_valid is None:
+        n_valid = jnp.int32(n_pix)
+    if n_global is None:
+        n_global = jnp.int32(n_pix)
+
+    f32, i32 = jnp.float32, jnp.int32
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    if rid_base is None:
+        rid_base = jnp.asarray(sample, i32) * jnp.asarray(n_global, i32)
+    scal = jnp.stack(
+        [jnp.asarray(bounce_seed, i32), jnp.asarray(cam_seed, i32),
+         jnp.asarray(rid_base, i32), jnp.asarray(n_valid, i32),
+         jnp.asarray(pix0, i32), jnp.zeros((), i32)]
+    ).reshape(1, 6)
+
+    c_pad = bounds.shape[0]
+    outs = pl.pallas_call(
+        functools.partial(
+            _mega_walk_kernel, b=b, br=br, c_rows=c_rows,
+            max_depth=max_depth, w=w, chunk=chunk, n_chunks=n_chunks,
+            use_pix_tab=False, record=True,
+        ),
+        grid=(t_budget,),
+        in_specs=[
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            whole((c_pad, LANE)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            [pl.BlockSpec((1, 32, b), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            + [whole((c_rows, b))] * 3
+            + [pl.BlockSpec((1, 2), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)]
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((t_budget, 32, b), f32),
+             jax.ShapeDtypeStruct((t_budget, 8, b), i32)]
+            + [jax.ShapeDtypeStruct((c_rows, b), f32)] * 3
+            + [jax.ShapeDtypeStruct((1, 2), i32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((1, b), f32)] * 9
+            + [pltpu.VMEM((1, b), i32)] * 6
+            + [pltpu.VMEM((1, br), f32)] * 6
+            + [pltpu.VMEM((1, b), f32)] * 3
+            + [pltpu.VMEM((1, br), f32)] * 2
+            + [pltpu.VMEM((_A_ROWS, br), f32)]
+            + [
+                pltpu.VMEM((2, chunk, LANE), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, 3 * _A_ROWS, chunk), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            + [pltpu.SMEM((1, 1), i32)]
+        ),
+    )(scal, cam_row, bounds, scene_pack, attrs)
+    tf, ti, cr, cg, cb, meta = outs
+    return MegaWalkTapeOut(
+        tape_f=tf,
+        tape_i=ti,
+        colors=jnp.stack([cr, cg, cb], axis=-1),
+        n_it=meta[0, 0],
+        clean=meta[0, 1],
+    )
+
+
 def mega_walk_colors(
     pack: WalkPack,
     camera: Camera,
@@ -552,7 +804,8 @@ def mega_walk_colors(
 ) -> jnp.ndarray:
     """Per-pixel colors [n_cap, 3] for one image sample, with the same
     lax.cond truncation fallback as mega_render_colors (bit-identical —
-    draws are (rid, depth)-keyed).
+    draws are (rid, depth)-keyed; exact float-t ties between spheres in
+    different chunks excepted, see WalkPack).
 
     pix_tab + inv_perm: tiled lane->pixel permutation (see
     mega_walk_sample); colors are un-permuted with inv_perm so the return

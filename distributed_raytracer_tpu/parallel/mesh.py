@@ -29,8 +29,23 @@ def make_mesh(
     n_scene: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """2D ("rays", "scene") mesh.  Defaults to all devices on "rays"."""
-    devices = list(devices if devices is not None else jax.devices())
+    """2D ("rays", "scene") mesh.  Defaults to all devices on "rays".
+
+    DRAY_MESH_DEVICE_CAP (env): cap the DEFAULT device list at the first
+    K devices.  Set by tests/conftest.py (12 fake devices, cap 8) so
+    interpret-mode meshes never occupy every host device — the XLA:CPU
+    client's execution threads scale with device count, and a shard_map'd
+    Pallas program on ALL devices can starve its own in-kernel DMA waits
+    (100%-reproducible deadlock, root-caused round 5).  Explicit
+    `devices=` arguments are never capped."""
+    import os
+
+    if devices is None:
+        devices = jax.devices()
+        cap = os.environ.get("DRAY_MESH_DEVICE_CAP")
+        if cap:
+            devices = devices[: int(cap)]
+    devices = list(devices)
     if n_rays is None:
         n_rays = len(devices) // n_scene
     need = n_rays * n_scene

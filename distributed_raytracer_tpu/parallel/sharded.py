@@ -271,7 +271,11 @@ def make_tape_camera_dp_tracer(
     (object_server.rs:34-38) as one ICI collective.
 
     Returns f(scene) -> colors [padded_pixels, 3] sharded over "rays"
-    (slice to camera.num_pixels); differentiable w.r.t. scene.
+    (slice to camera.num_pixels); differentiable w.r.t. scene.  Padding
+    rows past the image tail are ZEROED (n_pix % n_shards != 0 makes the
+    last shard's trailing lanes render extrapolated pixels; the mask
+    below keeps the raw padded output defined and cuts those lanes'
+    cotangents, so unsliced consumers can't silently read garbage).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -295,7 +299,66 @@ def make_tape_camera_dp_tracer(
         pix0 = (i * s_loc).astype(jnp.int32)
         # shards past the image tail re-render clamped pixels; sliced off
         # by the caller (colors for pixel p come from the shard owning p)
-        return tracer(scene, ids_stub, pix0=jnp.minimum(pix0, n_pix - 1))
+        cols = tracer(scene, ids_stub, pix0=jnp.minimum(pix0, n_pix - 1))
+        # zero genuinely out-of-image rows (see factory docstring)
+        valid = pix0 + jnp.arange(s_loc, dtype=jnp.int32) < n_pix
+        return jnp.where(valid[:, None], cols, 0.0)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )
+
+
+def make_tape_camera_walk_dp_tracer(
+    mesh: Mesh,
+    key: jax.Array,
+    camera: Camera,
+    scene0: Scene,
+    chunk: int = 256,
+    pool: int = 2048,
+    budget=None,
+    block_rays: int = 256,
+    bound_slack: float = 0.0,
+):
+    """The WALK tape tracer (fwd+bwd past one sweep chunk,
+    grad/tapegrad.make_tape_camera_walk_tracer) data-parallel over the
+    mesh "rays" axis — make_tape_camera_dp_tracer's sibling for
+    multi-chunk scenes (>512 spheres).  Every draw is keyed by GLOBAL
+    (pixel, depth) hash, so all devices share ONE key and the sharded
+    colors are BIT-IDENTICAL to the single-device walk tracer; the only
+    collective is the scene-cotangent psum in the shard_map transpose.
+
+    Returns f(scene) -> colors [padded_pixels, 3] sharded over "rays"
+    (slice to camera.num_pixels); padding rows past the image tail are
+    ZEROED (same contract as make_tape_camera_dp_tracer).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from distributed_raytracer_tpu.grad.tapegrad import (
+        make_tape_camera_walk_tracer,
+    )
+
+    n_shards = mesh.shape[RAYS_AXIS]
+    n_pix = camera.num_pixels
+    s_loc = pad_to_multiple(n_pix, n_shards) // n_shards
+    tracer = make_tape_camera_walk_tracer(
+        key, camera, scene0, chunk=chunk,
+        pool=min(pool, pad_to_multiple(s_loc, 128)),
+        budget=budget, block_rays=block_rays, bound_slack=bound_slack,
+    )
+    ids_stub = jnp.zeros((s_loc,), jnp.int32)
+
+    def local(scene):
+        i = jax.lax.axis_index(RAYS_AXIS)
+        pix0 = (i * s_loc).astype(jnp.int32)
+        cols = tracer(scene, ids_stub, pix0=jnp.minimum(pix0, n_pix - 1))
+        valid = pix0 + jnp.arange(s_loc, dtype=jnp.int32) < n_pix
+        return jnp.where(valid[:, None], cols, 0.0)
 
     return shard_map(
         local,
@@ -393,11 +456,13 @@ def make_mega_walk_dp_render(
     camera.num_pixels after gather); seed derivation contract matches
     make_mega_dp_render.
 
-    NOTE: untestable on the fake CPU mesh — the walk kernel's in-kernel
-    DMA semaphores + fori_loop do not terminate under a PARTITIONED
-    shard_map in interpret mode (the same class as the fused engine's
-    documented limitation); the bit-identity assertion lives in the
-    hardware tier (test_tpu_hw.py)."""
+    Interpret-mode note (root-caused round 5): this WORKS on the fake CPU
+    mesh as long as the mesh does not occupy EVERY host device — the
+    XLA:CPU client's execution threads scale with device count, and a
+    shard_map'd Pallas program on all devices starves its own in-kernel
+    DMA waits (100%-reproducible deadlock at 8/8 devices, fine at 8/12;
+    tests/conftest.py creates 12 fake devices with an 8-device mesh cap
+    for exactly this reason).  Hardware bit-identity: test_tpu_hw.py."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 

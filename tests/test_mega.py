@@ -119,9 +119,12 @@ def test_recording_camera_forward_equals_render_kernel():
             cam.max_depth, pool=128, block_rays=128,
             rid_base=s * jnp.int32(n_pix),
         )
-    # unpack the recording forward's colors from its dense positions
+    # unpack the recording forward's colors from its tape positions (the
+    # camera kernel skips the in-kernel pos update; derive from flags)
+    from distributed_raytracer_tpu.grad.tapegrad import camera_pos_from_tape
+
     t_budget, _, b = out.tape_f.shape
-    pos = np.asarray(out.pos_cb).reshape(-1)[:n_pix]
+    pos = np.asarray(camera_pos_from_tape(out.tape_i, out.n_it, n_pix))
     flat = np.asarray(out.tape_f[:, 13:16, :].transpose(0, 2, 1)).reshape(-1, 3)
     colors = np.where((pos >= 0)[:, None],
                       flat[np.clip(pos, 0, t_budget * b - 1)], 0.0)

@@ -259,8 +259,8 @@ def test_tape_dp_tracer_exact_match_and_grads():
     from distributed_raytracer_tpu.parallel import make_tape_dp_tracer
 
     scene, cam = scene_and_cam()
-    n_dev = len(jax.devices())
     mesh = make_mesh()
+    n_dev = mesh.devices.size
     r = 64 * n_dev
     ids = jnp.arange(r, dtype=jnp.int32)
     o, d = generate_rays(
@@ -514,8 +514,8 @@ def test_tape_dp_tracer_mega_exact_match_and_grads():
     from distributed_raytracer_tpu.parallel import make_tape_dp_tracer
 
     scene, cam = scene_and_cam()
-    n_dev = len(jax.devices())
     mesh = make_mesh()
+    n_dev = mesh.devices.size
     r = 64 * n_dev
     ids = jnp.arange(r, dtype=jnp.int32)
     o, d = generate_rays(
