@@ -855,6 +855,7 @@ def make_tape_camera_tracer(
     block_rays: int = 512,
     mega_pad: int = 2,
     iota_pix: bool = False,
+    variant: str = "homes",
 ):
     """PRODUCTION fwd+bwd tracer with camera-mode primary rays: f(scene,
     pixel_ids [R] i32, k=None) -> colors [R, 3], scene-differentiable.
@@ -865,7 +866,25 @@ def make_tape_camera_tracer(
     hash jitter/defocus draws — no host-side ray pregen, no [C, B] x 6
     ray table (VERDICT r3 item 3).  The camera itself and the rays are
     NOT differentiated (the scene-optimization production shape; camera
-    pose gradients live in grad/diff_render.py)."""
+    pose gradients live in grad/diff_render.py).
+
+    variant (round 5):
+      - "homes": dense [C, B] color homes + the attr-fetch mega backward
+        (the round-4 shipping shape).
+      - "unified": winner params recorded ON the tape (sublanes 16..25)
+        and the WALK backward (mega_walk_bwd_kernel) replays it — no
+        resident attr planes, no one-hot param fetch, factored MXU
+        segment-sum; colors still from the homes.
+      - "pos": "unified" but with NO color homes — the kernel keeps
+        only the cheap [C, B] pos update; colors come from ONE bulk tape
+        gather at pos (bulk GATHERS are bandwidth-class, DESIGN §4).
+        Kills the 3 color-home selects + pending-color scratch per row.
+      - "flat": like "pos" but pos is derived post-hoc from the fin
+        flags.  MEASURED LOSS (bulk 3M-element scatter-sets are not
+        bandwidth-class, ~14 ms at the official shape) — kept for the
+        record.
+    Colors are bit-identical across variants (same kernel body, same
+    draws); gradients agree to f32 accumulation order."""
     import numpy as _np
 
     from distributed_raytracer_tpu.ops.camera import Camera
@@ -882,9 +901,16 @@ def make_tape_camera_tracer(
     )
 
     assert isinstance(camera, Camera)
+    if variant not in ("homes", "unified", "pos", "flat"):
+        raise ValueError(variant)
     depth = max_depth if max_depth is not None else camera.max_depth
     w = camera.image_width
     cam_row = camera_scalar_row(camera)
+    record_params = variant != "homes"
+    pack_ti = record_params  # ONE tape stream per row (i32 planes bitcast
+    # onto tf sublanes 26..28) — per-row DMA issue, not bytes, is the cost
+    cam_out = {"homes": "homes", "unified": "homes",
+               "pos": "pos", "flat": "flat"}[variant]
 
     def run_fwd_raw(scene, pixel_ids, k, pix0):
         r = pixel_ids.shape[0]
@@ -896,13 +922,30 @@ def make_tape_camera_tracer(
         out = mega_forward_camera(
             scene, pixel_ids, seed, cam_seed, cam_row, w, depth, pool=b,
             budget=(budget or 0), block_rays=block_rays, pad_rows=mega_pad,
-            iota_pix=iota_pix, pix0=pix0,
+            iota_pix=iota_pix, pix0=pix0, record_params=record_params,
+            cam_out=cam_out, pack_ti=pack_ti,
         )
-        # dense [C, B] color homes: per-ray colors by pure reshape — the
-        # tape-flat HBM gather this replaces cost ~13 ns/ray (several ms
-        # at the production 810k-ray batch); truncation NaN-poisons
-        color = jnp.where(out.clean == 0, jnp.nan,
-                          out.colors.reshape(-1, 3)[:r])
+        if cam_out != "homes":
+            # colors via the tape: pos (in-kernel for "pos", flag-derived
+            # for "flat") + ONE bulk gather of the contrib sublanes
+            t_budget2 = out.tape_f.shape[0]
+            if cam_out == "pos":
+                pos = out.pos_cb.reshape(-1)[:r]
+            else:
+                pos = camera_pos_from_tape(out.tape_i, out.n_it, r)
+            flat = out.tape_f[:, 13:16, :].transpose(0, 2, 1).reshape(-1, 3)
+            color = jnp.where(
+                (pos >= 0)[:, None],
+                flat[jnp.clip(pos, 0, t_budget2 * b - 1)],
+                0.0,
+            )
+            color = jnp.where(out.clean == 0, jnp.nan, color)
+        else:
+            # dense [C, B] color homes: per-ray colors by pure reshape —
+            # the tape-flat HBM gather this replaces cost ~13 ns/ray;
+            # truncation NaN-poisons
+            color = jnp.where(out.clean == 0, jnp.nan,
+                              out.colors.reshape(-1, 3)[:r])
         return color, out
 
     @jax.custom_vjp
@@ -917,12 +960,25 @@ def make_tape_camera_tracer(
     def traced_bwd(res, g_color):
         scene, out = res
         n = scene.num_spheres
-        m = _auto_chunk(n)
-        _, attrs = scene_sweep_arrays(scene, m)
-        g_pm, _ = mega_backward(
-            out.tape_f, out.tape_i, out.n_it, g_color, attrs, n=n,
-            ray_grads=False,
-        )
+        if record_params:
+            # the WALK backward replays the params-on-tape format: no
+            # resident attrs, no one-hot param fetch, factored seg-sum;
+            # idx is the scene index directly (identity "permutation")
+            from distributed_raytracer_tpu.ops.pallas.mega_walk_bwd_kernel import (
+                mega_walk_backward,
+            )
+
+            g_pm, _ = mega_walk_backward(
+                out.tape_f, None, out.n_it, g_color, n_slots=n,
+                ray_grads=False, packed_ti=True,
+            )
+        else:
+            m = _auto_chunk(n)
+            _, attrs = scene_sweep_arrays(scene, m)
+            g_pm, _ = mega_backward(
+                out.tape_f, out.tape_i, out.n_it, g_color, attrs, n=n,
+                ray_grads=False,
+            )
         d_scene = Scene(
             centers=g_pm[:n, 0:3],
             radii=g_pm[:n, 3],
@@ -949,6 +1005,130 @@ def make_tape_camera_tracer(
         return traced_k(scene, pixel_ids, key if k is None else k,
                         jnp.zeros((), jnp.int32) if pix0 is None
                         else jnp.asarray(pix0, jnp.int32))
+
+    return traced
+
+
+def make_tape_camera_pose_tracer(
+    key: jax.Array,
+    camera,
+    max_depth: Optional[int] = None,
+    pool: int = 2048,
+    budget: Optional[int] = None,
+    block_rays: int = 512,
+    mega_pad: int = 2,
+):
+    """CAMERA-POSE gradients on the PRODUCTION tape path (VERDICT r4
+    item 9; camera.rs:238-262 as differentiable state): f(scene, cam_row)
+    -> colors [n_pix, 3], differentiable w.r.t. the scene AND the (1, 24)
+    camera-scalar row (center, pixel00, pixel deltas, defocus disk).
+
+    Pass cam_row = camera_scalar_row(traced_camera) built from traced
+    pose parameters (ops/camera.make_camera is jnp — XLA chains the
+    cam_row cotangents to lookfrom/vfov/... automatically).  `camera` is
+    the SHAPE TEMPLATE (width/height/depth statics); its values are
+    superseded by cam_row.
+
+    Machinery: the recording forward runs with winner params on tape
+    (variant "unified"); the walk backward emits the dense primary-ray
+    cotangent rows (ray_grads=True), which are gathered at each ray's
+    REFILL position (derived from the take flags) and pushed through
+    jax.vjp of camera_rays_host — the bit-exact host mirror of the
+    in-kernel ray generation."""
+    import numpy as _np
+
+    from distributed_raytracer_tpu.ops.camera import Camera
+    from distributed_raytracer_tpu.ops.pallas.mega_kernel import (
+        mega_forward_camera,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_walk_bwd_kernel import (
+        mega_walk_backward,
+    )
+    from distributed_raytracer_tpu.ops.pallas.mega_render_kernel import (
+        camera_rays_host,
+    )
+
+    assert isinstance(camera, Camera)
+    depth = max_depth if max_depth is not None else camera.max_depth
+    w = camera.image_width
+    n_pix = camera.num_pixels
+
+    def run_fwd_raw(scene, cam_row, k):
+        r = n_pix
+        b = min(pool, -(-r // 128) * 128)
+        seed = jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+        cam_seed = jax.random.randint(
+            jax.random.fold_in(k, 0xCA3), (), 0, 2**31 - 1, dtype=jnp.int32
+        )
+        ids = jnp.zeros((r,), jnp.int32)  # shape stub (iota mode)
+        out = mega_forward_camera(
+            scene, ids, seed, cam_seed, cam_row, w, depth, pool=b,
+            budget=(budget or 0), block_rays=block_rays, pad_rows=mega_pad,
+            iota_pix=True, record_params=True, cam_out="pos",
+            pack_ti=True,
+        )
+        t_budget2 = out.tape_f.shape[0]
+        pos = out.pos_cb.reshape(-1)[:r]
+        flat = out.tape_f[:, 13:16, :].transpose(0, 2, 1).reshape(-1, 3)
+        color = jnp.where(
+            (pos >= 0)[:, None],
+            flat[jnp.clip(pos, 0, t_budget2 * b - 1)],
+            0.0,
+        )
+        color = jnp.where(out.clean == 0, jnp.nan, color)
+        return color, (out, cam_seed)
+
+    @jax.custom_vjp
+    def traced_k(scene, cam_row, k):
+        color, _ = run_fwd_raw(scene, cam_row, k)
+        return color
+
+    def traced_fwd(scene, cam_row, k):
+        color, (out, cam_seed) = run_fwd_raw(scene, cam_row, k)
+        return color, (scene, cam_row, out, cam_seed)
+
+    def traced_bwd(res, g_color):
+        scene, cam_row, out, cam_seed = res
+        n = scene.num_spheres
+        g_pm, dd_rows = mega_walk_backward(
+            out.tape_f, None, out.n_it, g_color, n_slots=n,
+            ray_grads=True, packed_ti=True,
+        )
+        d_scene = Scene(
+            centers=g_pm[:n, 0:3],
+            radii=g_pm[:n, 3],
+            albedo=g_pm[:n, 4:7],
+            mat_type=jnp.zeros_like(scene.mat_type),
+            fuzz=g_pm[:n, 7],
+            ior=g_pm[:n, 8],
+        )
+        # primary-ray cotangents: gather the dense d_o/d_d rows at each
+        # ray's REFILL position (take flags), then transpose through the
+        # host camera-ray mirror into cam_row cotangents
+        tb, _, b = out.tape_f.shape
+        rpos = camera_pos_from_tape(out.tape_i, out.n_it, n_pix, flag_bit=4)
+
+        def gather3(lo):
+            flat = dd_rows[:, lo:lo + 3, :].transpose(0, 2, 1).reshape(-1, 3)
+            return jnp.where(
+                (rpos >= 0)[:, None],
+                flat[jnp.clip(rpos, 0, tb * b - 1)],
+                0.0,
+            )
+
+        g_o, g_d = gather3(0), gather3(3)
+        pix = jnp.arange(n_pix, dtype=jnp.int32)
+        _, vjp_cam = jax.vjp(
+            lambda cr: camera_rays_host(cr, pix, pix, cam_seed, w), cam_row
+        )
+        (d_cam_row,) = vjp_cam((g_o, g_d))
+        d_k = _np.zeros(key.shape, dtype=jax.dtypes.float0)
+        return d_scene, d_cam_row, d_k
+
+    traced_k.defvjp(traced_fwd, traced_bwd)
+
+    def traced(scene, cam_row, k=None):
+        return traced_k(scene, cam_row, key if k is None else k)
 
     return traced
 

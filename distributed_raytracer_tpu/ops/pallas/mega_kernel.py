@@ -106,6 +106,7 @@ def _mega_kernel(
     r: int, b: int, br: int, c_rows: int, max_depth: int,
     pad_rows: int, camera_mode: bool = False, w: int = 0,
     iota_pix: bool = False, record_params: bool = False,
+    cam_out: str = "homes", pack_ti: bool = False,
 ):
     """Body shared by the ray-table and camera modes.
 
@@ -143,27 +144,50 @@ def _mega_kernel(
         # cost scoped VMEM the kernel needs at production budgets
         # iota_pix drops the pix_tab operand outright: pixels are derived
         # arithmetically and the dead [C, B] table costs scoped VMEM
-        if iota_pix:
-            (cam_ref,
-             cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
-             tf_o, ti_o, col_r, col_g, col_b, meta_o,
-             sox, soy, soz, sdx, sdy, sdz,
-             sar, sag, sab,
-             scur, snext, sdepth, slive, sfin, spix,
-             rbx, rby, rbz, rcx, rcy, rcz,
-             ccr, ccg, ccb,
-             done_s) = refs
-            pix_tab = None
+        rest = list(refs)
+        cam_ref = rest.pop(0)
+        pix_tab = None if iota_pix else rest.pop(0)
+        if pack_ti:
+            # ONE tape output: the i32 planes (idx/lane_ray/flags) ride
+            # tf_o sublanes 26..28 as BITCAST f32 — one block copy-out
+            # per row instead of two (per-row DMA issue overhead, not
+            # bytes, is the fixed cost — DESIGN §15 step 1)
+            (cx_ref, cy_ref, cz_ref, r2_ref, attr_ref, tf_o) = rest[0:6]
+            del rest[0:6]
+            ti_o = None
         else:
-            (cam_ref, pix_tab,
-             cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
-             tf_o, ti_o, col_r, col_g, col_b, meta_o,
-             sox, soy, soz, sdx, sdy, sdz,
-             sar, sag, sab,
-             scur, snext, sdepth, slive, sfin, spix,
-             rbx, rby, rbz, rcx, rcy, rcz,
-             ccr, ccg, ccb,
-             done_s) = refs
+            (cx_ref, cy_ref, cz_ref, r2_ref, attr_ref, tf_o, ti_o) = rest[0:7]
+            del rest[0:7]
+        # cam_out (round 5 sweep, DESIGN §20):
+        #   "homes" — [C, B] color homes (round 4; pos derivable);
+        #   "flat"  — no homes, no pos: colors from the tape via a post-
+        #             hoc pos scatter.  MEASURED LOSS (bulk 3M-element
+        #             scatter-sets are NOT bandwidth-class, ~14 ms) —
+        #             kept for the record;
+        #   "pos"   — no homes, but the cheap in-kernel [C, B] pos update
+        #             stays; colors come from ONE bulk tape gather (bulk
+        #             GATHERS are bandwidth-class).  Kills the 3 color-
+        #             home selects + pending-color scratch per row.
+        pos_o = None
+        if cam_out == "homes":
+            (col_r, col_g, col_b) = rest[0:3]
+            del rest[0:3]
+        else:
+            col_r = col_g = col_b = None
+            if cam_out == "pos":
+                pos_o = rest.pop(0)
+        (meta_o,
+         sox, soy, soz, sdx, sdy, sdz,
+         sar, sag, sab,
+         scur, snext, sdepth, slive, sfin, spix,
+         rbx, rby, rbz, rcx, rcy, rcz) = rest[0:22]
+        del rest[0:22]
+        if cam_out == "homes":
+            (ccr, ccg, ccb) = rest[0:3]
+            del rest[0:3]
+        else:
+            ccr = ccg = ccb = None
+        (done_s,) = rest
     else:
         (tox, toy, toz, tdx, tdy, tdz,
          cx_ref, cy_ref, cz_ref, r2_ref, attr_ref,
@@ -189,12 +213,14 @@ def _mega_kernel(
         done_s[0, 0] = 0
         meta_o[0, 0] = 0
         meta_o[0, 1] = 0
-        if camera_mode:
+        if camera_mode and cam_out == "homes":
             ccr[:], ccg[:], ccb[:] = z, z, z
             col_r[:] = jnp.zeros_like(col_r)
             col_g[:] = jnp.zeros_like(col_g)
             col_b[:] = jnp.zeros_like(col_b)
-        else:
+        if camera_mode and cam_out == "pos":
+            pos_o[:] = jnp.full_like(pos_o, -1)
+        if not camera_mode:
             pos_o[:] = jnp.full_like(pos_o, -1)
             rpos_o[:] = jnp.full_like(rpos_o, -1)
 
@@ -292,7 +318,11 @@ def _mega_kernel(
         tf_o[0, _TF_AT + 0:_TF_AT + 1, :] = ar
         tf_o[0, _TF_AT + 1:_TF_AT + 2, :] = ag
         tf_o[0, _TF_AT + 2:_TF_AT + 3, :] = ab
-        ti_o[0, _TI_LRAY:_TI_LRAY + 1, :] = lane_ray
+        if pack_ti:
+            tf_o[0, 27:28, :] = jax.lax.bitcast_convert_type(
+                lane_ray, jnp.float32)
+        else:
+            ti_o[0, _TI_LRAY:_TI_LRAY + 1, :] = lane_ray
 
         # --- one fused bounce, sub-block by sub-block ---
         for sb in range(b // br):
@@ -334,17 +364,26 @@ def _mega_kernel(
             tf_o[0, _TF_RU + 1:_TF_RU + 2, sl] = ruy
             tf_o[0, _TF_RU + 2:_TF_RU + 3, sl] = ruz
             tf_o[0, _TF_U:_TF_U + 1, sl] = u_ch
-            ti_o[0, _TI_IDX:_TI_IDX + 1, sl] = idx_row
+            if pack_ti:
+                tf_o[0, 26:27, sl] = jax.lax.bitcast_convert_type(
+                    idx_row, jnp.float32)
+            else:
+                ti_o[0, _TI_IDX:_TI_IDX + 1, sl] = idx_row
             tf_o[0, _TF_CO + 0:_TF_CO + 1, sl] = ar[:, sl] * cor
             tf_o[0, _TF_CO + 1:_TF_CO + 2, sl] = ag[:, sl] * cog
             tf_o[0, _TF_CO + 2:_TF_CO + 3, sl] = ab[:, sl] * cob
             fin_b = (fin_row > 0) & act
-            ti_o[0, _TI_FLG:_TI_FLG + 1, sl] = (
+            flags_row = (
                 hit_row
                 | (act.astype(i32) << 1)
                 | (take[:, sl].astype(i32) << 2)
                 | (fin_b.astype(i32) << 3)
             )
+            if pack_ti:
+                tf_o[0, 28:29, sl] = jax.lax.bitcast_convert_type(
+                    flags_row, jnp.float32)
+            else:
+                ti_o[0, _TI_FLG:_TI_FLG + 1, sl] = flags_row
             if record_params:
                 # WINNER PARAMS onto tape sublanes 16..25 (the walk tape's
                 # layout, mega_walk_kernel.MegaWalkTapeOut): the backward
@@ -352,7 +391,7 @@ def _mega_kernel(
                 # no O(m*B) one-hot param fetch per row
                 for j in range(10):
                     tf_o[0, 16 + j:17 + j, sl] = wa[j:j + 1, :]
-            if camera_mode:
+            if camera_mode and cam_out == "homes":
                 ccr[0, sl] = jnp.where(fin_b, ar[:, sl] * cor, ccr[:, sl])[0]
                 ccg[0, sl] = jnp.where(fin_b, ag[:, sl] * cog, ccg[:, sl])[0]
                 ccb[0, sl] = jnp.where(fin_b, ab[:, sl] * cob, ccb[:, sl])[0]
@@ -382,15 +421,16 @@ def _mega_kernel(
         # the [C, B]-wide select costs ~0.8 us/row at the production
         # shape (396 x 2048).  The oracle entry derives pos from the
         # tape's fin flags post-hoc (tapegrad.camera_pos_from_tape). ---
-        fin_full = sfin[:] > 0
-        rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
-        sel_fin = (rows_i == c_cur) & fin_full
-        if camera_mode:
-            col_r[:] = jnp.where(sel_fin, ccr[:], col_r[:])
-            col_g[:] = jnp.where(sel_fin, ccg[:], col_g[:])
-            col_b[:] = jnp.where(sel_fin, ccb[:], col_b[:])
-        else:
-            pos_o[:] = jnp.where(sel_fin, it * b + lane, pos_o[:])
+        if not (camera_mode and cam_out == "flat"):
+            fin_full = sfin[:] > 0
+            rows_i = jax.lax.broadcasted_iota(i32, (c_rows, b), 0)
+            sel_fin = (rows_i == c_cur) & fin_full
+            if camera_mode and cam_out == "homes":
+                col_r[:] = jnp.where(sel_fin, ccr[:], col_r[:])
+                col_g[:] = jnp.where(sel_fin, ccg[:], col_g[:])
+                col_b[:] = jnp.where(sel_fin, ccb[:], col_b[:])
+            else:
+                pos_o[:] = jnp.where(sel_fin, it * b + lane, pos_o[:])
 
         # --- termination (+ parity pad so n_it % pad_rows == 0: the extra
         # rows run with every lane idle and record as pass-through) ---
@@ -531,7 +571,8 @@ def mega_forward(
 @functools.partial(
     jax.jit,
     static_argnames=("w", "max_depth", "pool", "budget", "block_rays",
-                     "pad_rows", "iota_pix"),
+                     "pad_rows", "iota_pix", "record_params",
+                     "cam_out", "pack_ti"),
 )
 def mega_forward_camera(
     scene: Scene,
@@ -548,6 +589,9 @@ def mega_forward_camera(
     rid_base=None,
     iota_pix: bool = False,
     pix0=None,
+    record_params: bool = False,
+    cam_out: str = "homes",
+    pack_ti: bool = False,
 ) -> MegaOut:
     """Camera-mode recording forward: primary rays are generated IN-KERNEL
     from pixel ids + 24 SMEM camera scalars at refill (the mega render
@@ -610,31 +654,44 @@ def mega_forward_camera(
         r=r, b=b, br=br, c_rows=c_rows, max_depth=max_depth,
         pad_rows=pad_rows, t_budget=t_budget, m=m,
         camera_mode=True, w=w, iota_pix=iota_pix,
+        record_params=record_params, cam_out=cam_out, pack_ti=pack_ti,
     )
 
 
 def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
                r, b, br, c_rows, max_depth, pad_rows, t_budget, m,
-               camera_mode, w, iota_pix=False):
+               camera_mode, w, iota_pix=False, record_params=False,
+               cam_out="homes", pack_ti=False):
     """Shared pallas_call construction for both mega-forward modes.
     Camera mode adds three dense [C, B] color-home outputs (and their
-    pending-color scratch rows) — see _mega_kernel."""
+    pending-color scratch rows) — see _mega_kernel.  record_params: tape_f
+    grows 16 -> 32 sublanes (winner params at 16..25, the walk tape's
+    layout) so the backward can be mega_walk_bwd_kernel."""
     f32, i32 = jnp.float32, jnp.int32
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     # camera mode: 3 color homes, NO pos/rpos (derivable from tape flags;
     # the dead [C, B] outputs cost scoped VMEM).  ray mode: pos + rpos.
-    n_col = 3 if camera_mode else 0
-    n_pos = 0 if camera_mode else 2
+    n_col = 3 if (camera_mode and cam_out == "homes") else 0
+    n_pos = 2 if not camera_mode else (1 if cam_out == "pos" else 0)
+    tf_rows = 32 if record_params else 16
+    if pack_ti:
+        assert record_params and camera_mode
+        ti_specs, ti_shapes = [], []
+    else:
+        ti_specs = [pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        ti_shapes = [jax.ShapeDtypeStruct((t_budget, 8, b), i32)]
     out_specs = (
-        [pl.BlockSpec((1, 16, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-         pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+        [pl.BlockSpec((1, tf_rows, b), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)]
+        + ti_specs
         + [whole((c_rows, b))] * (n_col + n_pos)
         + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((t_budget, 16, b), f32),
-         jax.ShapeDtypeStruct((t_budget, 8, b), i32)]
+        [jax.ShapeDtypeStruct((t_budget, tf_rows, b), f32)]
+        + ti_shapes
         + [jax.ShapeDtypeStruct((c_rows, b), f32)] * n_col
         + [jax.ShapeDtypeStruct((c_rows, b), i32)] * n_pos
         + [jax.ShapeDtypeStruct((1, 2), i32)]
@@ -644,6 +701,7 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
             _mega_kernel, r=r, b=b, br=br, c_rows=c_rows,
             max_depth=max_depth, pad_rows=pad_rows,
             camera_mode=camera_mode, w=w, iota_pix=iota_pix,
+            record_params=record_params, cam_out=cam_out, pack_ti=pack_ti,
         ),
         grid=(t_budget,),
         in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
@@ -661,7 +719,28 @@ def _mega_call(scal, mode_inputs, mode_specs, scene_cols, attrs, *,
             + [pltpu.SMEM((1, 1), i32)]
         ),
     )(scal, *mode_inputs, *scene_cols, attrs)
-    if camera_mode:
+    if pack_ti:
+        # re-expose the i32 planes as a bitcast VIEW so every tape
+        # consumer (backward, pos derivation, oracles) is format-agnostic;
+        # XLA materializes the slice only where consumed
+        tf0 = outs[0]
+        ti_view = jax.lax.bitcast_convert_type(
+            jnp.concatenate(
+                [tf0[:, 26:29, :],
+                 jnp.zeros((tf0.shape[0], 5, b), f32)], axis=1
+            ),
+            i32,
+        )
+        outs = (tf0, ti_view) + tuple(outs[1:])
+    if camera_mode and cam_out == "flat":
+        tape_f, tape_i, meta = outs
+        colors = None
+        pos_cb = rpos_cb = None
+    elif camera_mode and cam_out == "pos":
+        tape_f, tape_i, pos_cb, meta = outs
+        colors = None
+        rpos_cb = None
+    elif camera_mode:
         tape_f, tape_i, cr, cg, cb, meta = outs
         colors = jnp.stack([cr, cg, cb], axis=-1)
         pos_cb = rpos_cb = None

@@ -137,6 +137,45 @@ def camera_ray_rows(cam_ref, pix, rid, cam_seed, w: int):
     return ox_new, oy_new, oz_new, psx - ox_new, psy - oy_new, psz - oz_new
 
 
+def camera_rays_host(cam_row, pix, rid, cam_seed, w: int):
+    """HOST-side mirror of camera_ray_rows: the SAME arithmetic (same
+    _hash_u01 draw keys, same divmod, same formulas) on [R] vectors with
+    cam_row as a differentiable (1, 24) array — the camera-pose gradient
+    hook (VERDICT r4 item 9; camera.rs:238-262).  Bit-identical (o, d) to
+    the in-kernel generation at equal (pix, rid, cam_seed); jax.vjp of
+    this function transposes primary-ray cotangents into cam_row
+    cotangents, and XLA chains them through camera_scalar_row to pose
+    parameters when the camera itself is traced."""
+    jx = _hash_u01(rid, cam_seed, _CAM_D0 + 0)
+    jy = _hash_u01(rid, cam_seed, _CAM_D0 + 1)
+    u1 = _hash_u01(rid, cam_seed, _CAM_D0 + 2)
+    u2 = _hash_u01(rid, cam_seed, _CAM_D0 + 3)
+    j_row, i_row = _divmod_w(pix, w)
+    fi = i_row.astype(jnp.float32) + (jx - 0.5)
+    fj = j_row.astype(jnp.float32) + (jy - 0.5)
+    c = lambda k: cam_row[0, k]
+    psx = c(_C_P00 + 0) + fi * c(_C_PDU + 0) + fj * c(_C_PDV + 0)
+    psy = c(_C_P00 + 1) + fi * c(_C_PDU + 1) + fj * c(_C_PDV + 1)
+    psz = c(_C_P00 + 2) + fi * c(_C_PDU + 2) + fj * c(_C_PDV + 2)
+    rr = jnp.sqrt(u1)
+    th = 6.2831853 * u2
+    p_x = rr * jnp.cos(th)
+    p_y = rr * jnp.sin(th)
+    use_disk = c(_C_ANG) > 0.0
+    ox = jnp.where(use_disk,
+                   c(_C_CTR + 0) + p_x * c(_C_DDU + 0) + p_y * c(_C_DDV + 0),
+                   c(_C_CTR + 0))
+    oy = jnp.where(use_disk,
+                   c(_C_CTR + 1) + p_x * c(_C_DDU + 1) + p_y * c(_C_DDV + 1),
+                   c(_C_CTR + 1))
+    oz = jnp.where(use_disk,
+                   c(_C_CTR + 2) + p_x * c(_C_DDU + 2) + p_y * c(_C_DDV + 2),
+                   c(_C_CTR + 2))
+    o = jnp.stack([ox, oy, oz], axis=-1)
+    d = jnp.stack([psx - ox, psy - oy, psz - oz], axis=-1)
+    return o, d
+
+
 def _mega_render_kernel(
     scal_ref,                        # (1, 6) SMEM i32: bounce_seed cam_seed
                                      #   rid_base n_valid pix0 (pad)

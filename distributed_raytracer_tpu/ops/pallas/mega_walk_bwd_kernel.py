@@ -58,13 +58,16 @@ K_LO = 32  # low-digit width of the factored segment-sum (power of two)
 
 def _walk_bwd_kernel(
     nit_ref,                     # [1] SMEM (prefetch)
-    tf,                          # (1, 32, B) packed walk tape row
-    ti,                          # (1, 8, B) packed i32 row
-    gtr, gtg, gtb,               # [C, B] g_color tables
-    gacc_out,                    # [H, 27*K] f32
-    *rest,                       # [dd_o?] + 9 carry scratch + gacc + vp
+    *refs,                       # tf [+ ti] gtr gtg gtb | outs | scratch
     b: int, c_rows: int, n_sent: int, h_rows: int, ray_grads: bool,
+    packed_ti: bool = False,
 ):
+    rest = list(refs)
+    tf = rest.pop(0)
+    # packed_ti: the forward wrote idx/lane_ray/flags as bitcast f32 on
+    # tf sublanes 26..28 (ONE tape stream per row in both directions)
+    ti = None if packed_ti else rest.pop(0)
+    gtr, gtg, gtb, gacc_out, *rest = rest
     if ray_grads:
         dd_o, *rest = rest
     (sco_x, sco_y, sco_z, scd_x, scd_y, scd_z,
@@ -89,9 +92,15 @@ def _walk_bwd_kernel(
         ar, ag, ab = tf[0, 6:7, :], tf[0, 7:8, :], tf[0, 8:9, :]
         rux, ruy, ruz = tf[0, 9:10, :], tf[0, 10:11, :], tf[0, 11:12, :]
         u = tf[0, 12:13, :]
-        idx = ti[0, 0:1, :]
-        lray = ti[0, 1:2, :]
-        flg = ti[0, 2:3, :]
+        if packed_ti:
+            bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+            idx = bc(tf[0, 26:27, :])
+            lray = bc(tf[0, 27:28, :])
+            flg = bc(tf[0, 28:29, :])
+        else:
+            idx = ti[0, 0:1, :]
+            lray = ti[0, 1:2, :]
+            flg = ti[0, 2:3, :]
         hit = (flg & 1) != 0
         act = (flg & 2) != 0
         take = (flg & 4) != 0
@@ -197,7 +206,8 @@ def _walk_bwd_kernel(
         gacc_out[:] = gacc_s[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_slots", "ray_grads"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_slots", "ray_grads", "packed_ti"))
 def mega_walk_backward(
     tape_f: jnp.ndarray,
     tape_i: jnp.ndarray,
@@ -205,6 +215,7 @@ def mega_walk_backward(
     g_color: jnp.ndarray,
     n_slots: int,
     ray_grads: bool = False,
+    packed_ti: bool = False,
 ):
     """Run the walk-tape reverse replay as one pallas_call.
 
@@ -233,6 +244,8 @@ def mega_walk_backward(
     tf_spec = pl.BlockSpec((1, 32, b), rev, memory_space=pltpu.VMEM)
     ti_spec = pl.BlockSpec((1, 8, b), rev, memory_space=pltpu.VMEM)
     dd_spec = pl.BlockSpec((1, 8, b), rev, memory_space=pltpu.VMEM)
+    ti_specs = [] if packed_ti else [ti_spec]
+    ti_ops = [] if packed_ti else [tape_i]
     whole = lambda shape: pl.BlockSpec(
         shape, lambda i, nit: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -244,12 +257,12 @@ def mega_walk_backward(
     outs = pl.pallas_call(
         functools.partial(
             _walk_bwd_kernel, b=b, c_rows=c_rows, n_sent=n_slots,
-            h_rows=h_rows, ray_grads=ray_grads,
+            h_rows=h_rows, ray_grads=ray_grads, packed_ti=packed_ti,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(t_budget,),
-            in_specs=[tf_spec, ti_spec] + [whole((c_rows, b))] * 3,
+            in_specs=[tf_spec] + ti_specs + [whole((c_rows, b))] * 3,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((1, b), f32)] * 9
             + [pltpu.VMEM((h_rows, 27 * k), f32)]
@@ -258,7 +271,7 @@ def mega_walk_backward(
         out_shape=out_shape,
     )(
         n_it.reshape(1).astype(i32),
-        tape_f, tape_i,
+        tape_f, *ti_ops,
         gtr, gtg, gtb,
     )
     gacc = outs[0]

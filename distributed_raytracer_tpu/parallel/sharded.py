@@ -256,6 +256,7 @@ def make_tape_camera_dp_tracer(
     budget=None,
     block_rays: int = 512,
     mega_pad: int = 2,
+    variant: str = "unified",
 ):
     """The round-4 PRODUCTION fwd+bwd path (the CAMERA tape tracer —
     recording twin of the shipping render engine) data-parallel over the
@@ -288,7 +289,7 @@ def make_tape_camera_dp_tracer(
     tracer = make_tape_camera_tracer(
         key, camera, pool=min(pool, pad_to_multiple(s_loc, 128)),
         budget=budget, block_rays=block_rays, mega_pad=mega_pad,
-        iota_pix=True,
+        iota_pix=True, variant=variant,
     )
     # shape-only carrier: with iota_pix the kernel derives pixels from
     # pix0 + arange(s_loc); ids content is never read

@@ -281,3 +281,40 @@ def test_camera_tracer_replay_oracle_exact():
     )
     np.testing.assert_allclose(np.asarray(color), re_color, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_camera_tracer_variants_bit_identical():
+    """Round-5 variant ladder: "unified" (winner params on ONE packed tape
+    stream + the walk backward) and "pos" produce BIT-IDENTICAL colors and
+    grads to the round-4 "homes" shape (same kernel body, same draws)."""
+    from distributed_raytracer_tpu.grad.tapegrad import (
+        make_tape_camera_tracer,
+    )
+    from distributed_raytracer_tpu.models.presets import rtiow_final_scene
+    from distributed_raytracer_tpu.ops.camera import make_camera as mkc
+
+    scene = rtiow_final_scene(seed=0, pad_to=512)
+    cam = mkc(aspect_ratio=1.0, image_width=16, samples_per_pixel=1,
+              max_depth=3)
+    key = jax.random.PRNGKey(7)
+    r = cam.num_pixels
+    ids = jnp.arange(r, dtype=jnp.int32)
+    rng = np.random.default_rng(3)
+    gc = jnp.asarray(rng.standard_normal((r, 3)), jnp.float32)
+    res = {}
+    with pltpu.force_tpu_interpret_mode():
+        for v in ("homes", "unified", "pos"):
+            tr = make_tape_camera_tracer(key, cam, pool=128, block_rays=128,
+                                         iota_pix=True, variant=v)
+            val, g = jax.value_and_grad(
+                lambda p: jnp.sum(tr(scene.replace(**p), ids) * gc)
+            )({"albedo": scene.albedo, "centers": scene.centers})
+            res[v] = (np.asarray(tr(scene, ids)), float(val),
+                      np.asarray(g["albedo"]), np.asarray(g["centers"]))
+    for v in ("unified", "pos"):
+        assert np.array_equal(res[v][0], res["homes"][0]), v
+        assert res[v][1] == res["homes"][1], v
+        np.testing.assert_allclose(res[v][2], res["homes"][2],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(res[v][3], res["homes"][3],
+                                   rtol=1e-4, atol=1e-4)
