@@ -256,7 +256,7 @@ def make_tape_camera_dp_tracer(
     budget=None,
     block_rays: int = 512,
     mega_pad: int = 2,
-    variant: str = "unified",
+    variant: str = "homes",
 ):
     """The round-4 PRODUCTION fwd+bwd path (the CAMERA tape tracer —
     recording twin of the shipping render engine) data-parallel over the
@@ -270,6 +270,13 @@ def make_tape_camera_dp_tracer(
     order.  The only collective in the whole fwd+bwd step is that scene
     cotangent psum — exactly the reference's object-server reduction role
     (object_server.rs:34-38) as one ICI collective.
+
+    variant: the tracer ladder (tapegrad.make_tape_camera_tracer).  The
+    DEFAULT here stays "homes": the round-5 "unified" backward is faster
+    on hardware (+8%, DESIGN §20) but its larger interpret program wedges
+    the XLA:CPU client under a partitioned shard_map (the §18 starvation
+    class — reproduced on the fake mesh); pass variant="unified" on real
+    chips.
 
     Returns f(scene) -> colors [padded_pixels, 3] sharded over "rays"
     (slice to camera.num_pixels); differentiable w.r.t. scene.  Padding

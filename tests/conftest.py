@@ -16,21 +16,24 @@ if os.environ.get("DRAY_TPU_TESTS"):
     # real backend; the CPU-only tests are deselected by the marker
     import jax  # noqa: F401
 else:
-    # 12 fake devices but an 8-device default mesh (DRAY_MESH_DEVICE_CAP,
-    # honored by parallel.mesh.make_mesh): the XLA:CPU client's execution
-    # threads scale with the device count, and a shard_map'd Pallas
-    # interpret program whose mesh occupies ALL host devices can starve —
-    # in-kernel DMA waits need a spare execution thread to make progress.
-    # Root-caused round 5 with a 100%-reproducible wedge: an 8-device
-    # mega-walk render deadlocked every run on 8 fake devices (all threads
-    # futex_wait, CPU time frozen) and passed in 7 s on 16; 7-of-8 also
-    # passed.  This was the round-2..4 "intermittent full-suite compile
-    # deadlock" (CLAUDE.md) — mesh tests occupied every device thread.
+    # 12 fake devices; default meshes span ALL of them.  Two wedge
+    # classes were root-caused round 5 (docs/DESIGN.md §18), with
+    # OPPOSITE device-layout preferences, both deterministic at their
+    # trigger shapes (all threads futex_wait, CPU time frozen — the
+    # rounds-2..4 "intermittent full-suite compile deadlock"):
+    #   - shard_map'd Pallas-interpret kernels with in-kernel DMA waits
+    #     (the walk engines) starve when their mesh occupies EVERY host
+    #     device (8-of-8 wedges 3/3; 7-of-8 and 8-of-12+ pass) — such
+    #     tests must pin an explicit PROPER-SUBSET mesh
+    #     (test_mega_walk_tape uses n_rays=8 of 12);
+    #   - large NON-DMA interpret programs (the camera tape tracer under
+    #     shard_map) wedge on a proper-SUBSET mesh (8-of-12 wedges 3/3;
+    #     8-of-8 and 12-of-12 pass) — the DEFAULT mesh therefore spans
+    #     all devices, like rounds 2-4.
     os.environ["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=12 "
         + os.environ.get("XLA_FLAGS", "")
     )
-    os.environ.setdefault("DRAY_MESH_DEVICE_CAP", "8")
 
     import jax  # noqa: E402
 
