@@ -43,12 +43,13 @@ def scene_and_cam(width=64):
 
 
 def test_mesh_shapes():
+    n_dev = len(jax.devices())
     m = make_mesh()
-    assert m.shape[RAYS_AXIS] == 8 and m.shape[SCENE_AXIS] == 1
+    assert m.shape[RAYS_AXIS] == n_dev and m.shape[SCENE_AXIS] == 1
     m2 = make_mesh(n_rays=4, n_scene=2)
     assert m2.shape[RAYS_AXIS] == 4 and m2.shape[SCENE_AXIS] == 2
     with pytest.raises(ValueError):
-        make_mesh(n_rays=3, n_scene=3)
+        make_mesh(n_rays=n_dev, n_scene=3)
 
 
 def test_ray_sharded_matches_single_device():
