@@ -31,13 +31,13 @@ def make_mesh(
 ) -> Mesh:
     """2D ("rays", "scene") mesh.  Defaults to all devices on "rays".
 
-    DRAY_MESH_DEVICE_CAP (env): cap the DEFAULT device list at the first
-    K devices.  Set by tests/conftest.py (12 fake devices, cap 8) so
-    interpret-mode meshes never occupy every host device — the XLA:CPU
-    client's execution threads scale with device count, and a shard_map'd
-    Pallas program on ALL devices can starve its own in-kernel DMA waits
-    (100%-reproducible deadlock, root-caused round 5).  Explicit
-    `devices=` arguments are never capped."""
+    DRAY_MESH_DEVICE_CAP (env): opt-in cap of the DEFAULT device list at
+    the first K devices.  Interpret-mode shard_map wedge classes have
+    OPPOSITE device-layout preferences (DMA-walk kernels need a
+    proper-subset mesh, large non-DMA programs need a full mesh —
+    root-caused round 5, docs/DESIGN.md §18), so no global default is
+    safe for both; tests pin explicit meshes instead and the cap remains
+    a knob.  Explicit `devices=` arguments are never capped."""
     import os
 
     if devices is None:
