@@ -290,12 +290,19 @@ def make_tape_camera_dp_tracer(
 
     from distributed_raytracer_tpu.grad.tapegrad import make_tape_camera_tracer
 
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import LANE
+
     n_shards = mesh.shape[RAYS_AXIS]
     n_pix = camera.num_pixels
     s_loc = pad_to_multiple(n_pix, n_shards) // n_shards
+    p = min(pool, pad_to_multiple(s_loc, LANE))
+    br = LANE
+    for cand in range(LANE, min(block_rays, p) + 1, LANE):
+        if p % cand == 0:
+            br = cand
     tracer = make_tape_camera_tracer(
-        key, camera, pool=min(pool, pad_to_multiple(s_loc, 128)),
-        budget=budget, block_rays=block_rays, mega_pad=mega_pad,
+        key, camera, pool=p,
+        budget=budget, block_rays=br, mega_pad=mega_pad,
         iota_pix=True, variant=variant,
     )
     # shape-only carrier: with iota_pix the kernel derives pixels from
@@ -351,13 +358,22 @@ def make_tape_camera_walk_dp_tracer(
         make_tape_camera_walk_tracer,
     )
 
+    from distributed_raytracer_tpu.ops.pallas.bounce_kernel import LANE
+
     n_shards = mesh.shape[RAYS_AXIS]
     n_pix = camera.num_pixels
     s_loc = pad_to_multiple(n_pix, n_shards) // n_shards
+    p = min(pool, pad_to_multiple(s_loc, LANE))
+    # largest LANE-multiple divisor of the pool <= block_rays (the kernel
+    # requires pool % block_rays == 0; a small-image pool may not be a
+    # power of two) — make_mega_dp_render's rule
+    br = LANE
+    for cand in range(LANE, min(block_rays, p) + 1, LANE):
+        if p % cand == 0:
+            br = cand
     tracer = make_tape_camera_walk_tracer(
-        key, camera, scene0, chunk=chunk,
-        pool=min(pool, pad_to_multiple(s_loc, 128)),
-        budget=budget, block_rays=block_rays, bound_slack=bound_slack,
+        key, camera, scene0, chunk=chunk, pool=p,
+        budget=budget, block_rays=br, bound_slack=bound_slack,
     )
     ids_stub = jnp.zeros((s_loc,), jnp.int32)
 
