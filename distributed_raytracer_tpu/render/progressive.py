@@ -169,15 +169,23 @@ def _wavefront_delta_fn(scene, camera, engine, pool_size, use_pallas,
         # hardware sweep (scripts/mega_walk_bench.py, 32k spheres): br 512
         # (1.45x over dense fused) > 256 (1.38x) — wider sub-blocks
         # amortize the chunk DMA across more rays and the lost culling
-        # selectivity costs less than the extra fetches saved
+        # selectivity costs less than the extra fetches saved.  Round-5
+        # re-sweep: br512+TILED (each sub-block refills one 32x16 image
+        # tile — frustum-coherent flag tests) measured +6% over untiled
+        # in both same-session runs (1.48-1.51x vs 1.39-1.42x; r4 had
+        # measured it neutral) and is bit-identical by the global pixel
+        # draw keys — tiled is now the default when the image shape
+        # supports the tile permutation.
         br = 512 if pool_size % 512 == 0 else (
             128 if pool_size % 128 == 0 else pool_size
         )
+        tiled = br == 512 and camera.image_width % 32 == 0 and \
+            camera.image_height % 16 == 0
         # pack binds as a closure constant (its chunk/n_chunks ints are
         # static kernel-shape parameters, not traceable leaves)
         render = jax.jit(
             functools.partial(mwk.render_wavefront_sum_mega_walk, pack,
-                              budget=budget, block_rays=br),
+                              budget=budget, block_rays=br, tiled=tiled),
             static_argnames=("spp", "pool_size"),
         )
         return lambda k, n: render(camera, k, spp=n, pool_size=pool_size)

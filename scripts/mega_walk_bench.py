@@ -23,8 +23,9 @@ from distributed_raytracer_tpu.render.progressive import _wavefront_delta_fn
 
 n_spheres = int(os.environ.get("DRAY_SPHERES", "32768"))
 spp = int(os.environ.get("DRAY_SPP", "8"))
+chunk = int(os.environ.get("DRAY_CHUNK", "256"))
 big = random_sphere_field(n_spheres, seed=3)
-culled = build_culled_scene(big, chunk=256)
+culled = build_culled_scene(big, chunk=chunk)
 scene = culled.scene
 cam = make_camera(aspect_ratio=16 / 9, image_width=1024, samples_per_pixel=spp,
                   vfov=55.0, lookfrom=(0.0, 35.0, 90.0), lookat=(0.0, 0.0, 0.0),
