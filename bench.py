@@ -304,6 +304,51 @@ def main():
         except Exception as e:  # pragma: no cover - defensive
             log(f"fwd-only bench skipped: {type(e).__name__}: {e}")
 
+    # Round-5 extra: fwd+bwd PAST ONE SWEEP CHUNK — the walk tape engine
+    # at 8,192 spheres (VERDICT r4 item 1's acceptance number, recorded in
+    # the official JSON so the driver archives it).  Skippable via env.
+    if on_tpu and not os.environ.get("DRAY_BENCH_SKIP_WALK"):
+        try:
+            from distributed_raytracer_tpu.grad.tapegrad import (
+                make_tape_camera_walk_tracer,
+            )
+            from distributed_raytracer_tpu.models.presets import (
+                make_camera,
+                random_sphere_field,
+            )
+
+            wcam = make_camera(
+                aspect_ratio=16.0 / 9.0, image_width=1024,
+                samples_per_pixel=8, max_depth=8, vfov=55.0,
+                lookfrom=(0.0, 20.0, 60.0), lookat=(0.0, 0.0, 0.0),
+                vup=(0.0, 1.0, 0.0), defocus_angle=0.0, focus_dist=10.0,
+            )
+            wscene = random_sphere_field(8192, seed=5, extent=30.0)
+            wtr = make_tape_camera_walk_tracer(
+                jax.random.PRNGKey(1), wcam, wscene, chunk=256, pool=2048,
+                block_rays=512,
+            )
+            w_ids = jnp.zeros((wcam.num_pixels,), jnp.int32)
+            w_params = wscene.diff_params()
+
+            @jax.jit
+            def walk_fb(p, scene, ids):
+                def loss_fn(pp):
+                    s = scene.with_diff_params(pp)
+                    colors = wtr(s, ids)
+                    return image_loss(colors, jnp.zeros_like(colors))
+
+                return jax.value_and_grad(loss_fn)(p)
+
+            t_w = timed(lambda *a: walk_fb(w_params, *a), wscene, w_ids,
+                        iters=4, reps=2)
+            w_rps = wcam.num_pixels / t_w
+            log(f"walk tape 8192 spheres: {t_w*1e3:8.2f} ms -> "
+                f"{w_rps:,.0f} rays/s fwd+bwd")
+            extras["walk_tape_8k_fwd_bwd_rays_per_sec"] = round(w_rps, 1)
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"walk tape bench skipped: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
